@@ -1,0 +1,572 @@
+"""Continuous univariate distribution kernels (pure JAX, batched).
+
+Replaces the reference's use of Distributions.jl univariates (imported in
+src/Mamba.jl:8-44) plus its extension types ``Flat``/``SymUniform``
+(src/distributions/extensions.jl:3-55).  Every log_prob is one fused
+elementwise VPU expression over arbitrarily batched parameters.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import random
+from jax.scipy import special as sps
+
+from .. import bijectors as bij
+from .base import Distribution, UnivariateDistribution, distribution, _bc
+
+__all__ = [
+    "Normal", "LogNormal", "Exponential", "Gamma", "InverseGamma", "Beta",
+    "Uniform", "Cauchy", "Laplace", "Logistic", "TDist", "Chisq", "Weibull",
+    "Pareto", "Gumbel", "Flat", "SymUniform", "Truncated",
+]
+
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+@distribution()
+class Normal(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    sigma: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        z = (x - mu) / sigma
+        return -0.5 * z * z - jnp.log(sigma) - _HALF_LOG_2PI
+
+    def sample(self, key, shape=()):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return mu + sigma * random.normal(key, shape + mu.shape, mu.dtype)
+
+    def cdf(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return sps.ndtr((x - mu) / sigma)
+
+    def icdf(self, q):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return mu + sigma * sps.ndtri(q)
+
+    def mean(self):
+        return _bc(self.mu, self.sigma)[0]
+
+    def variance(self):
+        s = _bc(self.mu, self.sigma)[1]
+        return s * s
+
+
+@distribution()
+class LogNormal(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    sigma: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        lx = jnp.log(x)
+        z = (lx - mu) / sigma
+        return -0.5 * z * z - jnp.log(sigma) - _HALF_LOG_2PI - lx
+
+    def sample(self, key, shape=()):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return jnp.exp(mu + sigma * random.normal(key, shape + mu.shape, mu.dtype))
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x > 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return sps.ndtr((jnp.log(x) - mu) / sigma)
+
+    def icdf(self, q):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return jnp.exp(mu + sigma * sps.ndtri(q))
+
+    def mean(self):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return jnp.exp(mu + 0.5 * sigma * sigma)
+
+
+@distribution()
+class Exponential(UnivariateDistribution):
+    """Rate ``theta`` is the Distributions.jl *scale* convention:
+    Exponential(theta) has mean theta."""
+    theta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        (theta,) = _bc(self.theta)
+        return -x / theta - jnp.log(theta)
+
+    def sample(self, key, shape=()):
+        (theta,) = _bc(self.theta)
+        return theta * random.exponential(key, shape + theta.shape, theta.dtype)
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x >= 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        (theta,) = _bc(self.theta)
+        return -jnp.expm1(-x / theta)
+
+    def icdf(self, q):
+        (theta,) = _bc(self.theta)
+        return -theta * jnp.log1p(-q)
+
+    def mean(self):
+        return _bc(self.theta)[0]
+
+
+@distribution()
+class Gamma(UnivariateDistribution):
+    """shape alpha, *scale* theta (Distributions.jl convention: mean = a*theta)."""
+    alpha: jax.Array = 1.0
+    theta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return sps.xlogy(a - 1.0, x) - x / t - sps.gammaln(a) - a * jnp.log(t)
+
+    def sample(self, key, shape=()):
+        a, t = _bc(self.alpha, self.theta)
+        return t * random.gamma(key, a, shape + a.shape, a.dtype)
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x > 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return sps.gammainc(a, x / t)
+
+    def mean(self):
+        a, t = _bc(self.alpha, self.theta)
+        return a * t
+
+    def variance(self):
+        a, t = _bc(self.alpha, self.theta)
+        return a * t * t
+
+
+@distribution()
+class InverseGamma(UnivariateDistribution):
+    """shape alpha, scale beta: pdf ∝ x^-(a+1) exp(-b/x).
+    Accessors ``shape``/``scale`` mirror the reference's user-Gibbs usage
+    (doc/tutorial/line.jl:41-42)."""
+    alpha: jax.Array = 1.0
+    beta: jax.Array = 1.0
+
+    @property
+    def shape_param(self):
+        return self.alpha
+
+    @property
+    def scale_param(self):
+        return self.beta
+
+    def log_prob(self, x):
+        a, b = _bc(self.alpha, self.beta)
+        return a * jnp.log(b) - sps.gammaln(a) - (a + 1.0) * jnp.log(x) - b / x
+
+    def sample(self, key, shape=()):
+        a, b = _bc(self.alpha, self.beta)
+        return b / random.gamma(key, a, shape + a.shape, a.dtype)
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x > 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        a, b = _bc(self.alpha, self.beta)
+        return sps.gammaincc(a, b / x)
+
+    def mean(self):
+        a, b = _bc(self.alpha, self.beta)
+        return b / (a - 1.0)
+
+
+@distribution()
+class Beta(UnivariateDistribution):
+    alpha: jax.Array = 1.0
+    beta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        a, b = _bc(self.alpha, self.beta)
+        return (sps.xlogy(a - 1.0, x) + sps.xlog1py(b - 1.0, -x)
+                - sps.gammaln(a) - sps.gammaln(b) + sps.gammaln(a + b))
+
+    def sample(self, key, shape=()):
+        a, b = _bc(self.alpha, self.beta)
+        return random.beta(key, a, b, shape + a.shape, a.dtype)
+
+    def in_support(self, x):
+        return jnp.broadcast_to((x > 0) & (x < 1),
+                                jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        z = jnp.zeros(jnp.broadcast_shapes(jnp.shape(self.alpha), jnp.shape(self.beta)))
+        return bij.Sigmoid(z, z + 1.0)
+
+    def cdf(self, x):
+        a, b = _bc(self.alpha, self.beta)
+        return sps.betainc(a, b, jnp.clip(x, 0.0, 1.0))
+
+    def mean(self):
+        a, b = _bc(self.alpha, self.beta)
+        return a / (a + b)
+
+
+@distribution()
+class Uniform(UnivariateDistribution):
+    a: jax.Array = 0.0
+    b: jax.Array = 1.0
+
+    def log_prob(self, x):
+        a, b = _bc(self.a, self.b)
+        return jnp.broadcast_to(-jnp.log(b - a),
+                                jnp.broadcast_shapes(jnp.shape(x), a.shape))
+
+    def sample(self, key, shape=()):
+        a, b = _bc(self.a, self.b)
+        return a + (b - a) * random.uniform(key, shape + a.shape, a.dtype)
+
+    def in_support(self, x):
+        a, b = _bc(self.a, self.b)
+        return (x >= a) & (x <= b)
+
+    def bijector(self):
+        a, b = _bc(self.a, self.b)
+        return bij.Sigmoid(a, b)
+
+    def cdf(self, x):
+        a, b = _bc(self.a, self.b)
+        return jnp.clip((x - a) / (b - a), 0.0, 1.0)
+
+    def icdf(self, q):
+        a, b = _bc(self.a, self.b)
+        return a + q * (b - a)
+
+    def mean(self):
+        a, b = _bc(self.a, self.b)
+        return 0.5 * (a + b)
+
+
+@distribution()
+class Cauchy(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    sigma: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        z = (x - mu) / sigma
+        return -jnp.log(jnp.pi * sigma * (1.0 + z * z))
+
+    def sample(self, key, shape=()):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return mu + sigma * random.cauchy(key, shape + mu.shape, mu.dtype)
+
+    def cdf(self, x):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return 0.5 + jnp.arctan((x - mu) / sigma) / jnp.pi
+
+    def icdf(self, q):
+        mu, sigma = _bc(self.mu, self.sigma)
+        return mu + sigma * jnp.tan(jnp.pi * (q - 0.5))
+
+
+@distribution()
+class Laplace(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    beta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, b = _bc(self.mu, self.beta)
+        return -jnp.abs(x - mu) / b - jnp.log(2.0 * b)
+
+    def sample(self, key, shape=()):
+        mu, b = _bc(self.mu, self.beta)
+        return mu + b * random.laplace(key, shape + mu.shape, mu.dtype)
+
+    def cdf(self, x):
+        mu, b = _bc(self.mu, self.beta)
+        z = (x - mu) / b
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+    def icdf(self, q):
+        mu, b = _bc(self.mu, self.beta)
+        return mu - b * jnp.sign(q - 0.5) * jnp.log1p(-2.0 * jnp.abs(q - 0.5))
+
+    def mean(self):
+        return _bc(self.mu, self.beta)[0]
+
+
+@distribution()
+class Logistic(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    theta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, t = _bc(self.mu, self.theta)
+        z = (x - mu) / t
+        return -z - 2.0 * jax.nn.softplus(-z) - jnp.log(t)
+
+    def sample(self, key, shape=()):
+        mu, t = _bc(self.mu, self.theta)
+        return mu + t * random.logistic(key, shape + mu.shape, mu.dtype)
+
+    def cdf(self, x):
+        mu, t = _bc(self.mu, self.theta)
+        return jax.nn.sigmoid((x - mu) / t)
+
+    def icdf(self, q):
+        mu, t = _bc(self.mu, self.theta)
+        return mu + t * (jnp.log(q) - jnp.log1p(-q))
+
+    def mean(self):
+        return _bc(self.mu, self.theta)[0]
+
+
+@distribution()
+class TDist(UnivariateDistribution):
+    """Student-t with ``nu`` degrees of freedom (standardized, like
+    Distributions.jl TDist)."""
+    nu: jax.Array = 1.0
+
+    def log_prob(self, x):
+        (nu,) = _bc(self.nu)
+        return (sps.gammaln(0.5 * (nu + 1.0)) - sps.gammaln(0.5 * nu)
+                - 0.5 * jnp.log(nu * jnp.pi)
+                - 0.5 * (nu + 1.0) * jnp.log1p(x * x / nu))
+
+    def sample(self, key, shape=()):
+        (nu,) = _bc(self.nu)
+        return random.t(key, nu, shape + nu.shape, nu.dtype)
+
+    def mean(self):
+        (nu,) = _bc(self.nu)
+        return jnp.zeros_like(nu)
+
+
+@distribution()
+class Chisq(UnivariateDistribution):
+    nu: jax.Array = 1.0
+
+    def log_prob(self, x):
+        (nu,) = _bc(self.nu)
+        h = 0.5 * nu
+        return sps.xlogy(h - 1.0, x) - 0.5 * x - sps.gammaln(h) - h * jnp.log(2.0)
+
+    def sample(self, key, shape=()):
+        (nu,) = _bc(self.nu)
+        return 2.0 * random.gamma(key, 0.5 * nu, shape + nu.shape, nu.dtype)
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x > 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        (nu,) = _bc(self.nu)
+        return sps.gammainc(0.5 * nu, 0.5 * x)
+
+    def mean(self):
+        return _bc(self.nu)[0]
+
+
+@distribution()
+class Weibull(UnivariateDistribution):
+    """shape alpha, scale theta."""
+    alpha: jax.Array = 1.0
+    theta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        z = x / t
+        return jnp.log(a / t) + sps.xlogy(a - 1.0, z) - z ** a
+
+    def sample(self, key, shape=()):
+        a, t = _bc(self.alpha, self.theta)
+        u = random.uniform(key, shape + a.shape, a.dtype)
+        return t * (-jnp.log1p(-u)) ** (1.0 / a)
+
+    def in_support(self, x):
+        return jnp.broadcast_to(x > 0, jnp.broadcast_shapes(jnp.shape(x), self.batch_shape))
+
+    def bijector(self):
+        return bij.Exp()
+
+    def cdf(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return -jnp.expm1(-((x / t) ** a))
+
+    def icdf(self, q):
+        a, t = _bc(self.alpha, self.theta)
+        return t * (-jnp.log1p(-q)) ** (1.0 / a)
+
+
+@distribution()
+class Pareto(UnivariateDistribution):
+    """shape alpha, scale (minimum) theta."""
+    alpha: jax.Array = 1.0
+    theta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return jnp.log(a) + a * jnp.log(t) - (a + 1.0) * jnp.log(x)
+
+    def sample(self, key, shape=()):
+        a, t = _bc(self.alpha, self.theta)
+        u = random.uniform(key, shape + a.shape, a.dtype)
+        return t * (1.0 - u) ** (-1.0 / a)
+
+    def in_support(self, x):
+        t = _bc(self.alpha, self.theta)[1]
+        return x >= t
+
+    def bijector(self):
+        return bij.LowerBounded(_bc(self.alpha, self.theta)[1])
+
+    def cdf(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return 1.0 - (t / x) ** a
+
+    def icdf(self, q):
+        a, t = _bc(self.alpha, self.theta)
+        return t * (1.0 - q) ** (-1.0 / a)
+
+
+@distribution()
+class Gumbel(UnivariateDistribution):
+    mu: jax.Array = 0.0
+    beta: jax.Array = 1.0
+
+    def log_prob(self, x):
+        mu, b = _bc(self.mu, self.beta)
+        z = (x - mu) / b
+        return -z - jnp.exp(-z) - jnp.log(b)
+
+    def sample(self, key, shape=()):
+        mu, b = _bc(self.mu, self.beta)
+        return mu + b * random.gumbel(key, shape + mu.shape, mu.dtype)
+
+    def cdf(self, x):
+        mu, b = _bc(self.mu, self.beta)
+        return jnp.exp(-jnp.exp(-(x - mu) / b))
+
+    def icdf(self, q):
+        mu, b = _bc(self.mu, self.beta)
+        return mu - b * jnp.log(-jnp.log(q))
+
+
+@distribution()
+class Flat(UnivariateDistribution):
+    """Improper flat prior on the whole real line
+    (reference: src/distributions/extensions.jl:3-13)."""
+
+    def log_prob(self, x):
+        return jnp.zeros(jnp.shape(x))
+
+    def sample(self, key, shape=()):
+        # matches the reference's rand(Flat) = sample from a standard normal?
+        # The reference errors on rand(Flat); we draw N(0,1) for init purposes.
+        return random.normal(key, shape)
+
+    def mean(self):
+        return jnp.asarray(0.0)
+
+
+@distribution()
+class SymUniform(UnivariateDistribution):
+    """Uniform on [mu - scale, mu + scale]
+    (reference: src/distributions/extensions.jl:43-46)."""
+    mu: jax.Array = 0.0
+    scale: jax.Array = 1.0
+
+    def _ab(self):
+        mu, s = _bc(self.mu, self.scale)
+        return mu - s, mu + s
+
+    def log_prob(self, x):
+        a, b = self._ab()
+        return jnp.broadcast_to(-jnp.log(b - a),
+                                jnp.broadcast_shapes(jnp.shape(x), a.shape))
+
+    def sample(self, key, shape=()):
+        a, b = self._ab()
+        return a + (b - a) * random.uniform(key, shape + a.shape, a.dtype)
+
+    def in_support(self, x):
+        a, b = self._ab()
+        return (x >= a) & (x <= b)
+
+    def bijector(self):
+        return bij.Sigmoid(*self._ab())
+
+
+@distribution()
+class Truncated(UnivariateDistribution):
+    """Truncation of a continuous univariate base distribution to [lo, hi]
+    (reference: TransformDistribution includes Truncated,
+    transformdistribution.jl:6-11).  Bounds may be +-inf."""
+    base: Distribution
+    lo: jax.Array = -jnp.inf
+    hi: jax.Array = jnp.inf
+
+    def _log_mass(self):
+        lo, hi = _bc(self.lo, self.hi)
+        cdf_lo = jnp.where(jnp.isfinite(lo), self.base.cdf(lo), 0.0)
+        cdf_hi = jnp.where(jnp.isfinite(hi), self.base.cdf(hi), 1.0)
+        return jnp.log(cdf_hi - cdf_lo), cdf_lo, cdf_hi
+
+    def log_prob(self, x):
+        lm, _, _ = self._log_mass()
+        return self.base.log_prob(x) - lm
+
+    def sample(self, key, shape=()):
+        _, cdf_lo, cdf_hi = self._log_mass()
+        u = random.uniform(key, shape + cdf_lo.shape)
+        q = cdf_lo + u * (cdf_hi - cdf_lo)
+        if hasattr(self.base, "icdf"):
+            return self.base.icdf(q)
+        return _bisect_icdf(self.base, q, self.lo, self.hi)
+
+    def in_support(self, x):
+        lo, hi = _bc(self.lo, self.hi)
+        return self.base.in_support(x) & (x >= lo) & (x <= hi)
+
+    def bijector(self):
+        lo_f = bool(jnp.all(jnp.isfinite(jnp.asarray(self.lo))))
+        hi_f = bool(jnp.all(jnp.isfinite(jnp.asarray(self.hi))))
+        if lo_f and hi_f:
+            return bij.Sigmoid(*_bc(self.lo, self.hi))
+        if lo_f:
+            return bij.LowerBounded(jnp.asarray(self.lo))
+        if hi_f:
+            return bij.UpperBounded(jnp.asarray(self.hi))
+        return self.base.bijector()
+
+
+def _bisect_icdf(base, q, lo, hi, iters=60):
+    """Jittable bisection inverse-CDF fallback for bases without icdf."""
+    lo = jnp.where(jnp.isfinite(lo), lo, -1e10)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1e10)
+    lo = jnp.broadcast_to(jnp.asarray(lo, jnp.result_type(q)), q.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi, jnp.result_type(q)), q.shape)
+
+    def body(_, lh):
+        l, h = lh
+        m = 0.5 * (l + h)
+        below = base.cdf(m) < q
+        return jnp.where(below, m, l), jnp.where(below, h, m)
+
+    l, h = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (l + h)

@@ -1,0 +1,112 @@
+"""Slice sampling, univariate (coordinate-wise) and multivariate shrinkage
+forms (reference: src/samplers/slice.jl).
+
+The unbounded shrinkage rejection loops become ``lax.while_loop``s with the
+RNG key threaded through the carry — jit/vmap-safe; under vmap, lanes that
+finish early idle until the batch converges (equivalent statistics).
+By default operates on *constrained* values with -inf support masking, like
+the reference (Slice(…, transform=false), slice.jl:50).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import SamplerSpec
+
+
+class SliceTune(NamedTuple):
+    width: jax.Array
+
+
+def slice_init(x0, width) -> SliceTune:
+    x0 = jnp.asarray(x0)
+    return SliceTune(width=jnp.broadcast_to(jnp.asarray(width, x0.dtype), x0.shape))
+
+
+def slice_univariate_step(key, x, tune: SliceTune, logf):
+    """Coordinate-wise shrinkage slice sweep (reference slice.jl:66-92)."""
+    n = x.shape[0]
+    key, kl = jax.random.split(key)
+    lower = x - tune.width * jax.random.uniform(kl, x.shape, x.dtype)
+    upper = lower + tune.width
+
+    def coord(i, carry):
+        key, x, logf0, lower, upper = carry
+        key, kp, kx = jax.random.split(key, 3)
+        p0 = logf0 + jnp.log(jax.random.uniform(kp, (), x.dtype))
+        xi_old = x[i]
+        xi = lower[i] + (upper[i] - lower[i]) * jax.random.uniform(kx, (), x.dtype)
+        x = x.at[i].set(xi)
+
+        def cond(c):
+            _, _, lf, _, _ = c
+            return lf < p0
+
+        def body(c):
+            key, x, _, lo, hi = c
+            xi = x[i]
+            lo = jnp.where(xi < xi_old, lo.at[i].set(xi), lo)
+            hi = jnp.where(xi < xi_old, hi, hi.at[i].set(xi))
+            key, kx = jax.random.split(key)
+            xi_new = lo[i] + (hi[i] - lo[i]) * jax.random.uniform(kx, (), x.dtype)
+            x = x.at[i].set(xi_new)
+            return key, x, logf(x), lo, hi
+
+        key, x, logf0, lower, upper = jax.lax.while_loop(
+            cond, body, (key, x, logf(x), lower, upper))
+        return key, x, logf0, lower, upper
+
+    _, x2, _, _, _ = jax.lax.fori_loop(0, n, coord, (key, x, logf(x), lower, upper))
+    return x2, None
+
+
+def slice_multivariate_step(key, x, tune: SliceTune, logf):
+    """Joint shrinkage slice step (reference slice.jl:95-117)."""
+    key, kp, kl, kx = jax.random.split(key, 4)
+    p0 = logf(x) + jnp.log(jax.random.uniform(kp, (), x.dtype))
+    lower = x - tune.width * jax.random.uniform(kl, x.shape, x.dtype)
+    upper = lower + tune.width
+    y = lower + tune.width * jax.random.uniform(kx, x.shape, x.dtype)
+
+    def cond(c):
+        _, y, _, _ = c
+        return logf(y) < p0
+
+    def body(c):
+        key, y, lo, hi = c
+        lo = jnp.where(y < x, y, lo)
+        hi = jnp.where(y < x, hi, y)
+        key, kx = jax.random.split(key)
+        y = lo + (hi - lo) * jax.random.uniform(kx, y.shape, y.dtype)
+        return key, y, lo, hi
+
+    _, y, _, _ = jax.lax.while_loop(cond, body, (key, y, lower, upper))
+    return y, None
+
+
+class Slice(SamplerSpec):
+    """Slice(params, width, form='multivariate'|'univariate',
+    transform=False) — reference slice.jl:47-58."""
+
+    def __init__(self, params, width, form: str = "multivariate",
+                 transform: bool = False):
+        super().__init__(params)
+        if form not in ("univariate", "multivariate"):
+            raise ValueError("form must be 'univariate' or 'multivariate'")
+        self.width = width
+        self.form = form
+        self.transform = bool(transform)
+
+    def kernel_init(self, key, x0, logf):
+        return slice_init(x0, self.width)
+
+    def kernel_step(self, key, x, tune, logf, adapt):
+        if self.form == "univariate":
+            x2, _ = slice_univariate_step(key, x, tune, logf)
+        else:
+            x2, _ = slice_multivariate_step(key, x, tune, logf)
+        return x2, tune

@@ -12,5 +12,14 @@ the reference's interpreted graph walks and process-based parallelism.
 from .ops import bijectors
 from .ops.distributions import *  # noqa: F401,F403
 from .ops import distributions as dists
+from .model.nodes import Logical, Stochastic
+from .model.model import Model
+from .model.compile import CompiledModel, compile_model
+from .model.mcmc import mcmc
+from . import samplers
+from .samplers import AMM, AMWG, HMC, MALA, NUTS, RWM, Slice
+from . import output
+from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,
+                     cor, describe, hpd, mcse, quantile, summarystats)
 
 __version__ = "0.1.0"

@@ -1,0 +1,180 @@
+"""MCMC engine: the whole run is ONE compiled XLA program per phase.
+
+TPU-native counterpart of reference src/model/mcmc.jl.  Where the reference
+farms chains out to OS processes via pmap (mcmc.jl:36-59, utils.jl:91-98) and
+interprets the Gibbs block loop per iteration (simulation.jl:93-107), here:
+
+- chains are a ``vmap`` axis (one chip computes all chains in lockstep;
+  sharding over a mesh scales further — see parallel/),
+- the iteration loop is ``lax.scan`` (burnin phase without outputs, then a
+  kept-sample phase emitting one monitored row per ``thin`` inner steps),
+- the Gibbs block loop is unrolled at trace time (one fused program),
+- adaptation ("iter <= burnin", e.g. nuts.jl:52) is a traced bool so warmup
+  and sampling share one compiled step function.
+
+Checkpoint/resume matches the reference contract (mcmc.jl:3-16): the
+returned ModelChains carries per-chain resume pytrees (values + tunes + RNG
+keys — the ModelState equivalent, src/Mamba.jl:152-155) and ``mcmc(mc,
+iters)`` continues exactly, including adaptive tune state.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..output.chains import ModelChains
+from .compile import CompiledModel, compile_model
+from .model import Model
+
+
+def _chain_inits(cm: CompiledModel, inits, chains: int):
+    """Per-chain initial constrained states.  ``inits`` is a dict or a list
+    of dicts recycled over chains (reference mcmc.jl:27-31)."""
+    if isinstance(inits, dict):
+        inits = [inits]
+    states = []
+    for k in range(chains):
+        d = inits[k % len(inits)]
+        state = {}
+        for name in cm.stochastic:
+            if name not in d:
+                raise ValueError(f"chain {k}: no init for stochastic node {name!r}")
+            v = jnp.asarray(np.asarray(d[name], dtype=np.float64), cm.dtype)
+            state[name] = jnp.broadcast_to(v, cm.sites[name].shape)
+        states.append(state)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _build_kernels(cm: CompiledModel):
+    specs = cm.model.samplers
+    if not specs:
+        raise ValueError("model has no sampler blocks; call set_samplers first")
+    return [s.build(cm) for s in specs]
+
+
+def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
+         burnin: int = 0, thin: int = 1, chains: int = 1, seed: int = 123,
+         verbose: bool = True, dtype=None) -> ModelChains:
+    """``mcmc(model, inputs, inits, iters; burnin, thin, chains)`` — run —
+    or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16)."""
+    if isinstance(model_or_mc, ModelChains):
+        return _mcmc_restart(model_or_mc, inputs if inputs is not None else iters)
+    model = model_or_mc
+    if not isinstance(model, Model):
+        raise TypeError("first argument must be a Model or a ModelChains")
+    if iters <= burnin:
+        raise ValueError("iters must exceed burnin")
+
+    cm = compile_model(model, inputs, inits[0] if isinstance(inits, list) else inits,
+                       dtype=dtype)
+    kernels = _build_kernels(cm)
+    state0 = _chain_inits(cm, inits, chains)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(seed), i)
+                    )(jnp.arange(chains))
+
+    monitored, labels, pack_monitored = cm.monitor_spec()
+
+    def init_tunes(key, state):
+        return tuple(k.init(key, state) for k in kernels)
+
+    def gibbs_iter(key, state, tunes, adapt):
+        new_tunes = []
+        for i, k in enumerate(kernels):
+            key, sub = jax.random.split(key)
+            state, t = k.step(sub, state, tunes[i], adapt)
+            new_tunes.append(t)
+        return key, state, tuple(new_tunes)
+
+    n_kept = (iters - burnin) // thin
+
+    def run_chain(key, state, tunes):
+        # burnin phase: adapt=True, nothing stored
+        def warm(carry, _):
+            key, state, tunes = carry
+            return gibbs_iter(key, state, tunes, jnp.asarray(True)), None
+
+        (key, state, tunes), _ = jax.lax.scan(
+            warm, (key, state, tunes), length=burnin)
+
+        # sampling phase: thin inner steps per kept row
+        def kept(carry, _):
+            def inner(c, _):
+                key, state, tunes = c
+                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
+            carry, _ = jax.lax.scan(inner, carry, length=thin)
+            return carry, pack_monitored(carry[1])
+
+        (key, state, tunes), rows = jax.lax.scan(
+            kept, (key, state, tunes), length=n_kept)
+        return key, state, tunes, rows
+
+    t0 = time.time()
+    tunes0 = jax.vmap(init_tunes)(keys, state0)
+    key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
+        keys, state0, tunes0)
+    rows = jax.block_until_ready(rows)
+    elapsed = time.time() - t0
+    if verbose:
+        print(f"MCMC: {chains} chains x {iters} iterations "
+              f"({burnin} burnin, thin {thin}) in {elapsed:.2f}s "
+              f"({chains * iters / max(elapsed, 1e-9):,.0f} chain-iters/s)")
+
+    # rows: (chains, n_kept, npar) -> (n_kept, npar, chains)
+    value = np.moveaxis(np.asarray(rows), 0, 2)
+    return ModelChains(
+        value, start=burnin + thin, thin=thin, names=labels,
+        chains=list(range(1, chains + 1)), model=model, compiled=cm,
+        states={"key": key_f, "state": state_f, "tunes": tunes_f,
+                "burnin": burnin}, iter=burnin + n_kept * thin)
+
+
+def _mcmc_restart(mc: ModelChains, iters: int) -> ModelChains:
+    """Continue a run from its stored per-chain state (reference
+    mcmc.jl:3-16): tune state, values and RNG keys carry over; the new
+    draws are appended with a contiguous iteration range."""
+    if mc.compiled is None or mc.states is None:
+        raise ValueError("ModelChains lacks resume state")
+    cm = mc.compiled
+    kernels = _build_kernels(cm)
+    _, labels, pack_monitored = cm.monitor_spec()
+    thin = mc.thin
+    n_kept = iters // thin
+    if n_kept < 1:
+        raise ValueError("iters too small for one kept sample at current thin")
+
+    def gibbs_iter(key, state, tunes, adapt):
+        new_tunes = []
+        for i, k in enumerate(kernels):
+            key, sub = jax.random.split(key)
+            state, t = k.step(sub, state, tunes[i], adapt)
+            new_tunes.append(t)
+        return key, state, tuple(new_tunes)
+
+    def run_chain(key, state, tunes):
+        def kept(carry, _):
+            def inner(c, _):
+                key, state, tunes = c
+                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
+            carry, _ = jax.lax.scan(inner, carry, length=thin)
+            return carry, pack_monitored(carry[1])
+        (key, state, tunes), rows = jax.lax.scan(
+            kept, (key, state, tunes), length=n_kept)
+        return key, state, tunes, rows
+
+    st = mc.states
+    key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
+        st["key"], st["state"], st["tunes"])
+    rows = jax.block_until_ready(rows)
+    value = np.moveaxis(np.asarray(rows), 0, 2)
+    new = ModelChains(
+        value, start=mc.iter + thin, thin=thin, names=labels,
+        chains=mc.chains, model=mc.model, compiled=cm,
+        states={"key": key_f, "state": state_f, "tunes": tunes_f,
+                "burnin": st["burnin"]}, iter=mc.iter + n_kept * thin)
+    out = mc.cat_iters(new)
+    out.states, out.iter, out.compiled, out.model = new.states, new.iter, cm, mc.model
+    return out

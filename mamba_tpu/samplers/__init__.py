@@ -1,0 +1,24 @@
+"""Sampler kernels (reference src/samplers/): each exposes stand-alone pure
+functions ``<name>_init`` / ``<name>_step`` plus an engine-facing
+``SamplerSpec`` subclass binding the kernel to a block of model nodes."""
+
+from .base import BlockKernel, SamplerSpec, metropolis_accept
+from .amm import AMM, amm_init, amm_step
+from .amwg import AMWG, amwg_init, amwg_step
+from .hmc import HMC, hmc_init, hmc_step
+from .mala import MALA, mala_init, mala_step
+from .nuts import NUTS, NUTSTune, nuts_init, nuts_step, nutsepsilon
+from .rwm import RWM, rwm_init, rwm_step
+from .slice import (Slice, slice_init, slice_multivariate_step,
+                    slice_univariate_step)
+
+__all__ = [
+    "BlockKernel", "SamplerSpec", "metropolis_accept",
+    "AMM", "amm_init", "amm_step",
+    "AMWG", "amwg_init", "amwg_step",
+    "HMC", "hmc_init", "hmc_step",
+    "MALA", "mala_init", "mala_step",
+    "NUTS", "NUTSTune", "nuts_init", "nuts_step", "nutsepsilon",
+    "RWM", "rwm_init", "rwm_step",
+    "Slice", "slice_init", "slice_multivariate_step", "slice_univariate_step",
+]

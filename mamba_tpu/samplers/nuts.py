@@ -1,0 +1,298 @@
+"""No-U-Turn sampler with dual-averaging step-size adaptation.
+
+TPU-native rebuild of reference src/samplers/nuts.jl (Hoffman & Gelman 2014,
+Algorithm 6).  Two design deltas forced by XLA (SURVEY.md §7.4):
+
+1. The reference's recursive ``buildtree`` (nuts.jl:139-180) becomes an
+   *iterative* doubling build under ``lax.while_loop``: each doubling extends
+   the trajectory by ``2^j`` leapfrog steps in one direction, with the
+   recursive sub-U-turn checks replaced by the checkpoint-buffer scheme of
+   Phan et al. (iterative NUTS): even-indexed leaves are stored in a
+   ``max_depth``-slot buffer, odd-indexed leaves are checked against the
+   buffered start states of every subtree they close.  Statistically
+   equivalent to the recursion; compiles to a single XLA program.
+2. Gradients are exact JAX autodiff instead of the reference's
+   finite differences (src/model/simulation.jl:47-51).
+
+The slice-variable formulation, uniform proposal selection within the
+candidate set (reservoir sampling = the recursion's ``rand() <
+n'2/(n'1+n'2)`` combines), divergence cutoff (+1000), U-turn criterion
+(nuts.jl:183-187), and the Hoffman-Gelman dual-averaging schedule
+(nuts.jl:63-92) all match the reference exactly.  The only intentional
+difference is a finite ``max_depth`` (default 10, as in Stan) — the
+reference doubles unboundedly (nuts.jl:109).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import SamplerSpec
+
+
+class NUTSTune(NamedTuple):
+    epsilon: jax.Array
+    epsilonbar: jax.Array
+    Hbar: jax.Array
+    mu: jax.Array
+    m: jax.Array          # int32 adaptation counter
+    alpha: jax.Array      # last doubling's accept-stat sum (diagnostics)
+    nalpha: jax.Array
+    # dual-averaging constants (arrays so the tune is a uniform scan carry)
+    gamma: jax.Array
+    kappa: jax.Array
+    t0: jax.Array
+    target: jax.Array
+
+
+def _leapfrog(x, r, grad, eps, logfgrad):
+    """One leapfrog step (reference nuts.jl:129-136)."""
+    r = r + (0.5 * eps) * grad
+    x = x + eps * r
+    logf, grad = logfgrad(x)
+    r = r + (0.5 * eps) * grad
+    return x, r, logf, grad
+
+
+def nutsepsilon(key, x, logfgrad):
+    """Initial step size by doubling/halving search (reference
+    nuts.jl:192-205)."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    r0 = jax.random.normal(key, x.shape, dt)
+    logf0, grad0 = logfgrad(x)
+
+    def probe(eps):
+        _, rp, logfp, _ = _leapfrog(x, r0, grad0, eps, logfgrad)
+        return jnp.exp(logfp - logf0 - 0.5 * (jnp.dot(rp, rp) - jnp.dot(r0, r0)))
+
+    eps = jnp.asarray(1.0, dt)
+    prob = probe(eps)
+    pm = jnp.where(prob > 0.5, 1.0, -1.0).astype(dt)
+
+    def cond(c):
+        eps, prob, it = c
+        return (prob ** pm > 0.5 ** pm) & (it < 100)
+
+    def body(c):
+        eps, _, it = c
+        eps = eps * 2.0 ** pm
+        return eps, probe(eps), it + 1
+
+    eps, _, _ = jax.lax.while_loop(cond, body, (eps, prob, jnp.asarray(0)))
+    return eps
+
+
+def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6) -> NUTSTune:
+    """Tune init (reference NUTSTune ctor, nuts.jl:22-27; epsilon search when
+    not given, nuts.jl:29-30)."""
+    x0 = jnp.asarray(x0)
+    dt = x0.dtype
+    if epsilon is None:
+        epsilon = nutsepsilon(key, x0, logfgrad)
+    z = jnp.asarray(0.0, dt)
+    return NUTSTune(
+        epsilon=jnp.asarray(epsilon, dt), epsilonbar=jnp.asarray(1.0, dt),
+        Hbar=z, mu=z, m=jnp.asarray(0, jnp.int32), alpha=z,
+        nalpha=jnp.asarray(0, jnp.int32),
+        gamma=jnp.asarray(0.05, dt), kappa=jnp.asarray(0.75, dt),
+        t0=jnp.asarray(10.0, dt), target=jnp.asarray(target, dt))
+
+
+# ---------------------------------------------------------------------------
+# iterative tree building
+# ---------------------------------------------------------------------------
+
+def _popcount(n):
+    return jax.lax.population_count(n.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _ckpt_idxs(leaf):
+    """Checkpoint slot range closed by leaf (see module docstring).
+    ``idx_max`` = popcount(leaf >> 1); ``idx_min`` = idx_max - (trailing
+    ones of leaf) + 1."""
+    idx_max = _popcount(leaf >> 1)
+    trailing_ones = _popcount(leaf) - _popcount(leaf & (leaf + 1))
+    idx_min = idx_max - trailing_ones + 1
+    return idx_min, idx_max
+
+
+def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth):
+    """U-turn between the current (odd) leaf and every buffered subtree
+    start it closes.  Criterion oriented by build direction ``pm``:
+    dx = pm * (x_new - x_start); turned iff dx.r_start < 0 or dx.r_new < 0
+    (reference nouturn, nuts.jl:183-187)."""
+    def body(i, turned):
+        dx = pm * (x - x_ck[i])
+        t = (jnp.dot(dx, r_ck[i]) < 0) | (jnp.dot(dx, r) < 0)
+        inrange = (i >= idx_min) & (i <= idx_max)
+        return turned | (t & inrange)
+    return jax.lax.fori_loop(0, max_depth, body, jnp.asarray(False))
+
+
+def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
+                   x_ck, r_ck, max_depth, dt):
+    """Build ``2**j`` leapfrog steps in direction ``pm`` from end state
+    (x0, r0, grad0).  Returns the new end state, the subtree's uniform
+    proposal, candidate count n', validity s', and accept stats — the same
+    contract as the reference's recursive buildtree (nuts.jl:139-180)."""
+    nleaf = jnp.left_shift(1, j)
+
+    def cond(c):
+        leaf = c[0]
+        sprime = c[8]
+        return (leaf < nleaf) & sprime
+
+    def body(c):
+        (leaf, key, x, r, grad, xprop, nprime, _logf, sprime, alpha, nalpha,
+         x_ck, r_ck) = c
+        x, r, logf, grad = _leapfrog(x, r, grad, pm * eps, logfgrad)
+        logp = logf - 0.5 * jnp.dot(r, r)
+        valid = logu0 < logp
+        diverged = ~(logu0 < logp + 1000.0)
+        nprime = nprime + valid.astype(jnp.int32)
+        alpha = alpha + jnp.minimum(1.0, jnp.exp(logp - logp0)).astype(dt)
+        nalpha = nalpha + 1
+
+        # reservoir selection = uniform draw over valid leaves (equivalent
+        # to the recursion's pairwise n'2/(n'1+n'2) combines)
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (), dt)
+        take = valid & (u * nprime.astype(dt) < 1.0)
+        xprop = jnp.where(take, x, xprop)
+
+        idx_min, idx_max = _ckpt_idxs(leaf)
+        even = (leaf % 2) == 0
+        x_ck = jnp.where(even, x_ck.at[idx_max].set(x), x_ck)
+        r_ck = jnp.where(even, r_ck.at[idx_max].set(r), r_ck)
+        turned = jnp.where(
+            even, False,
+            _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth))
+
+        sprime = sprime & ~diverged & ~turned
+        return (leaf + 1, key, x, r, grad, xprop, nprime, logf, sprime,
+                alpha, nalpha, x_ck, r_ck)
+
+    init = (jnp.asarray(0, jnp.int32), key, x0, r0, grad0, x0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt),
+            jnp.asarray(True), jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
+            x_ck, r_ck)
+    (_, key, x, r, grad, xprop, nprime, _, sprime, alpha, nalpha, x_ck, r_ck
+     ) = jax.lax.while_loop(cond, body, init)
+    return key, x, r, grad, xprop, nprime, sprime, alpha, nalpha
+
+
+def nuts_sub(key, x, epsilon, logfgrad, max_depth=10):
+    """One NUTS transition at fixed step size (reference nuts_sub!,
+    nuts.jl:95-126)."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    dim = x.shape[0]
+    key, kr, ku = jax.random.split(key, 3)
+
+    r0 = jax.random.normal(kr, (dim,), dt)
+    logf0, grad0 = logfgrad(x)
+    logp0 = logf0 - 0.5 * jnp.dot(r0, r0)
+    logu0 = logp0 + jnp.log(jax.random.uniform(ku, (), dt))
+
+    x_ck = jnp.zeros((max_depth, dim), dt)
+    r_ck = jnp.zeros((max_depth, dim), dt)
+
+    def cond(c):
+        j, s = c[0], c[10]
+        return s & (j < max_depth)
+
+    def body(c):
+        (j, key, xm, rm, gm, xp, rp, gp, xcur, n, _s, alpha, nalpha) = c
+        key, kd, ka = jax.random.split(key, 3)
+        pm = jnp.where(jax.random.uniform(kd, (), dt) > 0.5, 1.0, -1.0).astype(dt)
+
+        # extend from the chosen end; select end by pm
+        x_end = jnp.where(pm < 0, xm, xp)
+        r_end = jnp.where(pm < 0, rm, rp)
+        g_end = jnp.where(pm < 0, gm, gp)
+        (key, x_new, r_new, g_new, xprop, nprime, sprime, alpha2, nalpha2
+         ) = _build_subtree(key, x_end, r_end, g_end, pm, j, epsilon,
+                            logfgrad, logp0, logu0, x_ck, r_ck, max_depth, dt)
+        xm = jnp.where(pm < 0, x_new, xm)
+        rm = jnp.where(pm < 0, r_new, rm)
+        gm = jnp.where(pm < 0, g_new, gm)
+        xp = jnp.where(pm < 0, xp, x_new)
+        rp = jnp.where(pm < 0, rp, r_new)
+        gp = jnp.where(pm < 0, gp, g_new)
+
+        accept = sprime & (jax.random.uniform(ka, (), dt) * n.astype(dt)
+                           < nprime.astype(dt))
+        xcur = jnp.where(accept, xprop, xcur)
+        n = n + nprime
+        xdiff = xp - xm
+        s = sprime & (jnp.dot(xdiff, rm) >= 0) & (jnp.dot(xdiff, rp) >= 0)
+        return (j + 1, key, xm, rm, gm, xp, rp, gp, xcur, n, s, alpha2, nalpha2)
+
+    init = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
+            jnp.asarray(1, jnp.int32), jnp.asarray(True),
+            jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    xcur, alpha, nalpha = out[8], out[11], out[12]
+    return xcur, alpha, nalpha
+
+
+def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
+    """NUTS transition + dual-averaging update (reference sample!,
+    nuts.jl:63-92).  ``adapt`` is a traced bool; the whole function is one
+    XLA program covering both warmup and sampling phases."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    adapt = jnp.asarray(adapt)
+
+    # setadapt!: entering adaptation at m == 0 fixes mu = log(10 eps)
+    mu = jnp.where(adapt & (tune.m == 0), jnp.log(10.0 * tune.epsilon), tune.mu)
+    # frozen phase uses epsilonbar once adaptation has run (nuts.jl:83)
+    eps_used = jnp.where(adapt, tune.epsilon,
+                         jnp.where(tune.m > 0, tune.epsilonbar, tune.epsilon))
+
+    x2, alpha, nalpha = nuts_sub(key, x, eps_used, logfgrad, max_depth)
+
+    m = tune.m + jnp.where(adapt, 1, 0).astype(jnp.int32)
+    mf = m.astype(dt)
+    p = 1.0 / (mf + tune.t0)
+    Hbar_new = (1.0 - p) * tune.Hbar + p * (tune.target
+                                            - alpha / jnp.maximum(nalpha, 1).astype(dt))
+    eps_new = jnp.exp(mu - jnp.sqrt(mf) * Hbar_new / tune.gamma)
+    p2 = mf ** -tune.kappa
+    epsbar_new = jnp.exp(p2 * jnp.log(eps_new) + (1.0 - p2) * jnp.log(tune.epsilonbar))
+
+    new = NUTSTune(
+        epsilon=jnp.where(adapt, eps_new, eps_used),
+        epsilonbar=jnp.where(adapt, epsbar_new, tune.epsilonbar),
+        Hbar=jnp.where(adapt, Hbar_new, tune.Hbar),
+        mu=mu, m=m, alpha=alpha,
+        nalpha=nalpha, gamma=tune.gamma, kappa=tune.kappa, t0=tune.t0,
+        target=tune.target)
+    return x2, new
+
+
+class NUTS(SamplerSpec):
+    """NUTS(params; epsilon=None, target=0.6, max_depth=10) — adapts during
+    burnin, frozen step size after (reference NUTS ctor nuts.jl:47-56)."""
+
+    transform = True
+    needs_grad = True
+
+    def __init__(self, params, epsilon=None, target: float = 0.6,
+                 max_depth: int = 10):
+        super().__init__(params)
+        self.epsilon = epsilon
+        self.target = float(target)
+        self.max_depth = int(max_depth)
+
+    def kernel_init(self, key, x0, logfgrad):
+        def lf(v):
+            return logfgrad(v)
+        return nuts_init(key, x0, lf, epsilon=self.epsilon, target=self.target)
+
+    def kernel_step(self, key, x, tune, logfgrad, adapt):
+        return nuts_step(key, x, tune, logfgrad, adapt, self.max_depth)

@@ -55,7 +55,7 @@ class CompiledModel:
     def __init__(self, model: Model, inputs: dict[str, Any],
                  example_inits: dict[str, Any], dtype=None):
         self.model = model
-        self.dtype = dtype or jnp.asarray(1.0).dtype
+        self.dtype = dtype or jax.dtypes.canonicalize_dtype(np.float64)
         missing = model.input_names - set(inputs)
         if missing:
             raise ValueError(f"missing input values for {sorted(missing)}")
@@ -66,17 +66,24 @@ class CompiledModel:
         self.logical = model.keys("logical")
         self.observed = set(model.keys("observed")) if model.samplers else set()
 
-        # --- resolve shapes / bijectors with one eager forward pass -----
+        # --- resolve shapes / bijectors with ONE jitted forward pass
+        # (a remote TPU dispatches eager ops over a tunnel; op-by-op graph
+        # evaluation here costs ~30s, a single compiled call ~2s) ----------
         state = {}
         for name in self.stochastic:
             if name not in example_inits:
                 raise ValueError(f"no initial value for stochastic node {name!r}")
             state[name] = jnp.asarray(np.asarray(example_inits[name], dtype=np.float64),
                                       dtype=self.dtype)
-        env = self._eval_env(state)
+
+        def _probe(state):
+            env = self._eval_env(state)
+            return env, {n: self._node_dist(n, env) for n in self.stochastic}
+
+        env, dists = jax.jit(_probe)(state)
         self.sites: dict[str, SiteSpec] = {}
         for name in self.stochastic:
-            dist = self._node_dist(name, env)
+            dist = dists[name]
             b = dist.bijector()
             shape = tuple(np.shape(env[name]))
             ushape = tuple(b.unconstrained_shape(shape))

@@ -36,17 +36,19 @@ def _chain_inits(cm: CompiledModel, inits, chains: int):
     of dicts recycled over chains (reference mcmc.jl:27-31)."""
     if isinstance(inits, dict):
         inits = [inits]
-    states = []
-    for k in range(chains):
-        d = inits[k % len(inits)]
-        state = {}
-        for name in cm.stochastic:
+    # assembled host-side in numpy: one device transfer per site instead of
+    # chains x sites eager device ops (slow over a remote-TPU tunnel)
+    stacked = {}
+    for name in cm.stochastic:
+        rows = []
+        for k in range(chains):
+            d = inits[k % len(inits)]
             if name not in d:
                 raise ValueError(f"chain {k}: no init for stochastic node {name!r}")
-            v = jnp.asarray(np.asarray(d[name], dtype=np.float64), cm.dtype)
-            state[name] = jnp.broadcast_to(v, cm.sites[name].shape)
-        states.append(state)
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            rows.append(np.broadcast_to(
+                np.asarray(d[name], dtype=np.float64), cm.sites[name].shape))
+        stacked[name] = jnp.asarray(np.stack(rows), cm.dtype)
+    return stacked
 
 
 def _build_kernels(cm: CompiledModel):
@@ -58,9 +60,17 @@ def _build_kernels(cm: CompiledModel):
 
 def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
          burnin: int = 0, thin: int = 1, chains: int = 1, seed: int = 123,
-         verbose: bool = True, dtype=None) -> ModelChains:
+         verbose: bool = True, dtype=None, mesh=None, chain_axis: str = "chains",
+         site_specs=None) -> ModelChains:
     """``mcmc(model, inputs, inits, iters; burnin, thin, chains)`` — run —
-    or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16)."""
+    or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``chain_axis`` dimension),
+    chain-stacked state is sharded over devices and the same compiled scan
+    runs SPMD — the TPU-native replacement for the reference's
+    process-parallel chains (mcmc.jl:36-59).  ``site_specs`` optionally maps
+    site names to PartitionSpecs for their per-chain dims (shard a large
+    observation axis over a mesh data axis)."""
     if isinstance(model_or_mc, ModelChains):
         return _mcmc_restart(model_or_mc, inputs if inputs is not None else iters)
     model = model_or_mc
@@ -73,8 +83,8 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
                        dtype=dtype)
     kernels = _build_kernels(cm)
     state0 = _chain_inits(cm, inits, chains)
-    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(seed), i)
-                    )(jnp.arange(chains))
+    keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.key(seed), i)))(jnp.arange(chains))
 
     monitored, labels, pack_monitored = cm.monitor_spec()
 
@@ -113,7 +123,14 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
         return key, state, tunes, rows
 
     t0 = time.time()
-    tunes0 = jax.vmap(init_tunes)(keys, state0)
+    if mesh is not None:
+        from ..parallel.mesh import shard_chain_tree
+        state0 = shard_chain_tree(state0, mesh, chains, chain_axis, site_specs)
+        keys = shard_chain_tree(keys, mesh, chains, chain_axis)
+    tunes0 = jax.jit(jax.vmap(init_tunes))(keys, state0)
+    if mesh is not None:
+        from ..parallel.mesh import shard_chain_tree
+        tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
     key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
         keys, state0, tunes0)
     rows = jax.block_until_ready(rows)

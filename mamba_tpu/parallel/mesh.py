@@ -1,0 +1,65 @@
+"""Device-mesh helpers for chain-parallel (+ data-parallel) MCMC.
+
+Replaces the reference's process-based ``pmap2`` chain fan-out
+(src/utils.jl:91-98, src/model/mcmc.jl:36-59) with sharded device arrays:
+chain-stacked state pytrees get a ``NamedSharding`` over the mesh's chain
+axis and the jitted scan partitions automatically (single-controller SPMD;
+collectives ride ICI).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
+    """``make_mesh({'chains': 4, 'data': 2})``.  With no spec, a 1-D
+    ``chains`` mesh over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if axes is None:
+        axes = {"chains": len(devices)}
+    shape = tuple(axes.values())
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh shape {axes} needs {int(np.prod(shape))} devices, "
+            f"have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def chain_sharding(mesh: Mesh, chain_axis: str = "chains",
+                   site_spec: P | None = None) -> NamedSharding:
+    """Sharding for a chain-stacked array: leading dim over the mesh chain
+    axis, trailing dims per ``site_spec`` (e.g. P('data') to shard a big
+    observation axis — the sequence-parallel analog)."""
+    extra = tuple(site_spec) if site_spec is not None else ()
+    return NamedSharding(mesh, P(chain_axis, *extra))
+
+
+def shard_chain_tree(tree, mesh: Mesh, nchains: int,
+                     chain_axis: str = "chains",
+                     site_specs: dict | None = None):
+    """device_put a chain-stacked pytree with leading-dim chain sharding.
+
+    Leaves whose leading dim equals ``nchains`` are sharded over the mesh
+    chain axis; anything else (static ints, unbatched constants) is
+    replicated.  ``site_specs`` maps state-dict keys to PartitionSpecs for
+    their per-chain (trailing) dims, e.g. ``{'y': P('data')}`` to shard a
+    large observation axis.
+    """
+    site_specs = site_specs or {}
+
+    def put(path, x):
+        shape = np.shape(x)
+        if not shape or shape[0] != nchains:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        name = path[-1].key if path and hasattr(path[-1], "key") else None
+        spec = site_specs.get(name)
+        if spec is not None and len(tuple(spec)) > len(shape) - 1:
+            raise ValueError(f"site spec {spec} too long for shape {shape}")
+        return jax.device_put(x, chain_sharding(mesh, chain_axis, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)

@@ -20,6 +20,8 @@ from . import samplers
 from .samplers import AMM, AMWG, HMC, MALA, NUTS, RWM, Slice
 from . import output
 from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,
-                     cor, describe, hpd, mcse, quantile, summarystats)
+                     cor, describe, dic, gelmandiag, gewekediag, heideldiag,
+                     hpd, logpdf_chains, mcse, predict, quantile, rafterydiag,
+                     read_chains, readcoda, summarystats, write_chains)
 
 __version__ = "0.1.0"

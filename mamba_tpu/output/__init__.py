@@ -4,9 +4,16 @@ from .chains import Chains, ModelChains
 from .chainsummary import ChainSummary
 from .stats import (autocor, autocov, changerate, cor, describe, hpd, mcse,
                     quantile, summarystats)
+from .diagnostics import (gelmandiag, gewekediag, heideldiag, pcramer,
+                          rafterydiag)
+from .fileio import read_chains, readcoda, write_chains
+from .modelstats import dic, logpdf_chains, predict
 
 __all__ = [
     "Chains", "ModelChains", "ChainSummary",
     "autocor", "autocov", "changerate", "cor", "describe", "hpd", "mcse",
     "quantile", "summarystats",
+    "gelmandiag", "gewekediag", "heideldiag", "rafterydiag", "pcramer",
+    "read_chains", "readcoda", "write_chains",
+    "dic", "logpdf_chains", "predict",
 ]

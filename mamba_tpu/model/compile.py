@@ -81,6 +81,10 @@ class CompiledModel:
             return env, {n: self._node_dist(n, env) for n in self.stochastic}
 
         env, dists = jax.jit(_probe)(state)
+        #: concrete example distributions (for static support enumeration,
+        #: missing-value masks, and bijector resolution)
+        self.example_dists = dists
+        self.example_values = {n: np.asarray(v) for n, v in env.items()}
         self.sites: dict[str, SiteSpec] = {}
         for name in self.stochastic:
             dist = dists[name]

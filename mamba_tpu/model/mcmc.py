@@ -48,6 +48,28 @@ def _chain_inits(cm: CompiledModel, inits, chains: int):
             rows.append(np.broadcast_to(
                 np.asarray(d[name], dtype=np.float64), cm.sites[name].shape))
         stacked[name] = jnp.asarray(np.stack(rows), cm.dtype)
+
+    # NaN inits mark missing data (reference MISS semantics, miss.jl:44-52):
+    # prior-impute them before the first iteration so kernel initialization
+    # sees finite log-densities.
+    nan_sites = [n for n in cm.stochastic
+                 if np.isnan(np.asarray(stacked[n])).any()]
+    if nan_sites:
+        masks = {n: jnp.asarray(np.isnan(np.asarray(stacked[n])))
+                 for n in nan_sites}
+
+        def impute_chain(key, state, *mask_leaves):
+            nonlocal_masks = dict(zip(nan_sites, mask_leaves))
+            filled = {n: jnp.nan_to_num(v) for n, v in state.items()}
+            draws = cm.forward_sample(key, filled, names=nan_sites)
+            return {n: (jnp.where(nonlocal_masks[n], draws[n], v)
+                        if n in nan_sites else v)
+                    for n, v in state.items()}
+
+        ikeys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.key(777), i)))(jnp.arange(chains))
+        stacked = jax.jit(jax.vmap(impute_chain))(
+            ikeys, stacked, *[masks[n] for n in nan_sites])
     return stacked
 
 

@@ -5,6 +5,6 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import line, rats
+from . import eyes, line, rats, seeds
 
-__all__ = ["line", "rats"]
+__all__ = ["eyes", "line", "rats", "seeds"]

@@ -3,6 +3,9 @@ functions ``<name>_init`` / ``<name>_step`` plus an engine-facing
 ``SamplerSpec`` subclass binding the kernel to a block of model nodes."""
 
 from .base import BlockKernel, SamplerSpec, metropolis_accept
+from .dgs import DGS, DGSTune, dgs_step, discrete_step
+from .miss import MISS
+from .slicesimplex import SliceSimplex, slicesimplex_step
 from .amm import AMM, amm_init, amm_step
 from .amwg import AMWG, amwg_init, amwg_step
 from .hmc import HMC, hmc_init, hmc_step
@@ -15,6 +18,8 @@ from .slice import (Slice, slice_init, slice_multivariate_step,
 __all__ = [
     "BlockKernel", "SamplerSpec", "metropolis_accept",
     "AMM", "amm_init", "amm_step",
+    "DGS", "DGSTune", "dgs_step", "discrete_step", "MISS",
+    "SliceSimplex", "slicesimplex_step",
     "AMWG", "amwg_init", "amwg_step",
     "HMC", "hmc_init", "hmc_step",
     "MALA", "mala_init", "mala_step",

@@ -1,0 +1,121 @@
+"""Slice sampling within a simplex (reference src/samplers/slicesimplex.jl).
+
+The rejection loop over shrinking simplexes becomes a ``lax.while_loop``
+(SURVEY.md §7.4); the per-coordinate shrink pass (shrinksimplex,
+slicesimplex.jl:109-122) is a masked ``fori_loop``.  Vertices are a (K, K)
+matrix; the K x K solves ride the MXU under vmap over chains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import SamplerSpec
+
+
+class SliceSimplexTune(NamedTuple):
+    scale: jax.Array
+
+
+def _make_first_simplex(key, x, scale):
+    """Initial bounding simplex around x (reference slicesimplex.jl:98-102)."""
+    K = x.shape[0]
+    V = jnp.eye(K, dtype=x.dtype)
+    V = V.at[:, 1:].add((1.0 - scale) * (V[:, :1] - V[:, 1:]))
+    w = jax.random.dirichlet(key, jnp.ones(K, x.dtype)).astype(x.dtype)
+    return V + (x - V @ w)[:, None]
+
+
+def _shrink(V, bx, bc, cc):
+    """Shrink vertices toward the rejected point (reference
+    slicesimplex.jl:109-122): for each coordinate with bc_i < bx_i, pull all
+    other vertices toward vertex i and re-solve the barycentric coords."""
+    K = V.shape[0]
+
+    def coord(i, carry):
+        V, bc = carry
+
+        def do(carry):
+            V, bc = carry
+            cols = V + bc[i] * (V[:, i][:, None] - V)
+            V = jnp.where(jnp.arange(K)[None, :] == i, V, cols)
+            bc = jnp.linalg.solve(V, cc)
+            return V, bc
+
+        return jax.lax.cond(bc[i] < bx[i], do, lambda c: c, (V, bc))
+
+    V, _ = jax.lax.fori_loop(0, K, coord, (V, bc))
+    return V
+
+
+def slicesimplex_step(key, x, tune: SliceSimplexTune, logf, max_iter: int = 1000):
+    """One slice-simplex transition on a simplex-valued vector x
+    (reference sample!, slicesimplex.jl:86-103)."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    K = x.shape[0]
+    key, kp, kv, kx = jax.random.split(key, 4)
+    p0 = logf(x) + jnp.log(jax.random.uniform(kp, (), dt))
+
+    V = _make_first_simplex(kv, x, tune.scale)
+    vb = jnp.linalg.solve(V, x)
+    xb = jax.random.dirichlet(kx, jnp.ones(K, dt)).astype(dt)
+    xn = V @ xb
+
+    def bad(xn):
+        return (jnp.any(xn < 0.0) | jnp.any(xn > 1.0) | (logf(xn) < p0))
+
+    def cond(c):
+        _, _, _, xn, it = c
+        return bad(xn) & (it < max_iter)
+
+    def body(c):
+        key, V, xb, xn, it = c
+        vb = jnp.linalg.solve(V, x)
+        V = _shrink(V, vb, xb, xn)
+        key, kx = jax.random.split(key)
+        xb = jax.random.dirichlet(kx, jnp.ones(K, dt)).astype(dt)
+        return key, V, xb, V @ xb, it + 1
+
+    _, _, _, xn, _ = jax.lax.while_loop(
+        cond, body, (key, V, xb, xn, jnp.asarray(0)))
+    return jnp.where(bad(xn), x, xn), tune
+
+
+class SliceSimplex(SamplerSpec):
+    """SliceSimplex(params; scale=1.0) — slice sampling for simplex-valued
+    nodes, e.g. Dirichlet/Categorical-probability blocks (reference
+    slicesimplex.jl:38-64).  Supports multiple simplex nodes per block;
+    each is updated with its own shrinking-simplex pass."""
+
+    transform = False
+
+    def __init__(self, params, scale: float = 1.0):
+        super().__init__(params)
+        if not 0 < scale <= 1:
+            raise ValueError("scale is not in (0, 1]")
+        self.scale = float(scale)
+
+    def build(self, cm):
+        from .base import BlockKernel
+
+        per_site = [(name,) + cm.block_functions((name,), False)
+                    for name in self.params]
+
+        def init(key, state):
+            dt = jnp.asarray(state[self.params[0]]).dtype
+            return SliceSimplexTune(scale=jnp.asarray(self.scale, dt))
+
+        def step(key, state, tune, adapt):
+            for name, pack, unpack, spec, logf in per_site:
+                key, sub = jax.random.split(key)
+                x = pack(state)
+                x2, _ = slicesimplex_step(sub, x, tune,
+                                          lambda v: logf(v, state))
+                state = {**state, **unpack(x2, state)}
+            return state, tune
+
+        return BlockKernel(init, step)

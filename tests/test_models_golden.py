@@ -1,0 +1,62 @@
+"""Golden-statistics integration tests over the example-model zoo.
+
+Mirrors the reference's run-the-examples testing (test/runexamples.jl) but
+with assertions: posterior means must sit within a few Monte-Carlo standard
+errors of the published tables (BASELINE.md), and PSRF must be near 1.
+Shortened run configs keep CI fast; the full golden configs are exercised
+by the drive scripts / bench.
+"""
+
+import numpy as np
+import pytest
+
+import mamba_tpu as mt
+from mamba_tpu.models import eyes, rats, seeds
+
+
+@pytest.mark.slow
+def test_rats_golden():
+    model, inputs, inits = rats.build("reference")
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu_beta"]["Mean"] - 6.1831) < 0.1
+    assert abs(s["alpha0"]["Mean"] - 106.626) < 2.5
+    assert abs(s["s2_c"]["Mean"] - 37.254) < 6.0
+    assert np.all(mt.gelmandiag(sim).value[:, 0, 0] < 1.3)
+
+
+@pytest.mark.slow
+def test_rats_nuts_scheme_agrees():
+    model, inputs, inits = rats.build("nuts")
+    sim = mt.mcmc(model, inputs, inits, 2000, burnin=750, thin=1, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu_beta"]["Mean"] - 6.1831) < 0.15
+    assert s["mu_beta"]["ESS"] > 200
+
+
+@pytest.mark.slow
+def test_eyes_golden():
+    """Mixture with latent discrete indicators: DGS + SliceSimplex path."""
+    model, inputs, inits = eyes.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["P[1]"]["Mean"] - 0.6036) < 0.08
+    assert abs(s["lam[1]"]["Mean"] - 536.753) < 1.5
+    assert abs(s["lam[2]"]["Mean"] - 548.987) < 1.5
+    # component probabilities stay on the simplex
+    comb = sim[:, ["P"], :].combine()
+    assert np.all((comb > 0) & (comb < 1))
+
+
+@pytest.mark.slow
+def test_seeds_golden():
+    model, inputs, inits = seeds.build("reference")
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha0"]["Mean"] + 0.5562) < 0.15
+    assert abs(s["alpha12"]["Mean"] + 0.7464) < 0.3
+    assert abs(s["s2"]["Mean"] - 0.0857) < 0.07

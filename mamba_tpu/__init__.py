@@ -17,8 +17,8 @@ from .model.model import Model
 from .model.compile import CompiledModel, compile_model
 from .model.mcmc import mcmc
 from . import samplers
-from .samplers import (AMM, AMWG, DGS, HMC, MALA, MISS, NUTS, RWM,
-                       Slice, SliceSimplex)
+from .samplers import (ABC, AMM, AMWG, BHMC, BIA, BMC3, BMG, DGS, HMC, MALA,
+                       MISS, NUTS, RWM, Slice, SliceSimplex)
 from . import models
 from . import output
 from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,

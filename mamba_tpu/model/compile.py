@@ -164,7 +164,8 @@ class CompiledModel:
         example = {p: np.zeros(s) for p, s in shapes.items()}
         return make_ravel_spec(example, dtype=self.dtype)
 
-    def block_functions(self, params: tuple[str, ...], transform: bool):
+    def block_functions(self, params: tuple[str, ...], transform: bool,
+                        prior_only: bool = False):
         """Returns (pack, unpack, logf):
 
         - ``pack(state) -> flat``          (reference unlist, simulation.jl:110-134)
@@ -174,11 +175,13 @@ class CompiledModel:
         With ``transform=True`` the flat vector is unconstrained and ``logf``
         includes the log-Jacobian of the block's own sites.
         """
-        key = (tuple(params), bool(transform))
+        key = (tuple(params), bool(transform), bool(prior_only))
         if key in self._block_cache:
             return self._block_cache[key]
         params = tuple(params)
-        terms = self.block_terms(params)
+        # prior_only: just the params' own densities (+ Jacobians) — the ABC
+        # sampler's logprior term (reference abc.jl:46, 105-107)
+        terms = params if prior_only else self.block_terms(params)
         spec = self.block_ravel_spec(params, transform)
         pset = set(params)
 

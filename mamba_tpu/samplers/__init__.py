@@ -3,6 +3,9 @@ functions ``<name>_init`` / ``<name>_step`` plus an engine-facing
 ``SamplerSpec`` subclass binding the kernel to a block of model nodes."""
 
 from .base import BlockKernel, SamplerSpec, metropolis_accept
+from .abc import ABC, ABCTune
+from .binary import (BHMC, BIA, BMC3, BMG, bhmc_init, bhmc_step, bia_init,
+                     bia_step, bmc3_init, bmc3_step, bmg_init, bmg_step)
 from .dgs import DGS, DGSTune, dgs_step, discrete_step
 from .miss import MISS
 from .slicesimplex import SliceSimplex, slicesimplex_step
@@ -17,6 +20,9 @@ from .slice import (Slice, slice_init, slice_multivariate_step,
 
 __all__ = [
     "BlockKernel", "SamplerSpec", "metropolis_accept",
+    "ABC", "ABCTune",
+    "BHMC", "BIA", "BMC3", "BMG", "bhmc_init", "bhmc_step", "bia_init",
+    "bia_step", "bmc3_init", "bmc3_step", "bmg_init", "bmg_step",
     "AMM", "amm_init", "amm_step",
     "DGS", "DGSTune", "dgs_step", "discrete_step", "MISS",
     "SliceSimplex", "slicesimplex_step",

@@ -20,6 +20,10 @@ from . import samplers
 from .samplers import (ABC, AMM, AMWG, BHMC, BIA, BMC3, BMG, DGS, HMC, MALA,
                        MISS, NUTS, RWM, Slice, SliceSimplex)
 from . import models
+from . import infer
+from . import maxpost
+from .infer import advi, smc
+from .maxpost import optim_over
 from . import output
 from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,
                      cor, describe, dic, gelmandiag, gewekediag, heideldiag,

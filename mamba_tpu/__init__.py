@@ -21,6 +21,7 @@ from .samplers import (ABC, AMM, AMWG, BHMC, BIA, BMC3, BMG, DGS, HMC, MALA,
                        MISS, NUTS, RWM, Slice, SliceSimplex)
 from . import models
 from . import infer
+from .utils.math import cummean, invlogit, logit
 from . import maxpost
 from .infer import advi, smc
 from .maxpost import optim_over
@@ -28,6 +29,6 @@ from . import output
 from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,
                      cor, describe, dic, gelmandiag, gewekediag, heideldiag,
                      hpd, logpdf_chains, mcse, predict, quantile, rafterydiag,
-                     read_chains, readcoda, summarystats, write_chains)
+                     plot, draw, read_chains, readcoda, summarystats, write_chains)
 
 __version__ = "0.1.0"

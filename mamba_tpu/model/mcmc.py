@@ -82,8 +82,8 @@ def _build_kernels(cm: CompiledModel):
 
 def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
          burnin: int = 0, thin: int = 1, chains: int = 1, seed: int = 123,
-         verbose: bool = True, dtype=None, mesh=None, chain_axis: str = "chains",
-         site_specs=None) -> ModelChains:
+         verbose: bool = True, progress: bool = False, dtype=None, mesh=None,
+         chain_axis: str = "chains", site_specs=None) -> ModelChains:
     """``mcmc(model, inputs, inits, iters; burnin, thin, chains)`` — run —
     or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16).
 
@@ -144,6 +144,17 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
             kept, (key, state, tunes), length=n_kept)
         return key, state, tunes, rows
 
+    def run_chain_tail(key, state, tunes, n_rows):
+        def kept(carry, _):
+            def inner(c, _):
+                key, state, tunes = c
+                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
+            carry, _ = jax.lax.scan(inner, carry, length=thin)
+            return carry, pack_monitored(carry[1])
+        (key, state, tunes), rows = jax.lax.scan(
+            kept, (key, state, tunes), length=n_rows)
+        return key, state, tunes, rows
+
     t0 = time.time()
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
@@ -153,9 +164,60 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
-    key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
-        keys, state0, tunes0)
-    rows = jax.block_until_ready(rows)
+    if not progress:
+        key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
+            keys, state0, tunes0)
+        rows = jax.block_until_ready(rows)
+    else:
+        # chunked execution with a reference-style ETA meter
+        # (src/progress.jl:40-59): one jitted chunk function reused across
+        # ~10 equal chunks; prints happen at host sync points only.
+        def warm_only(key, state, tunes):
+            def warm(carry, _):
+                key, state, tunes = carry
+                return gibbs_iter(key, state, tunes, jnp.asarray(True)), None
+            return jax.lax.scan(warm, (key, state, tunes), length=burnin)[0]
+
+        chunk = max(1, n_kept // 10)
+
+        def kept_chunk(key, state, tunes):
+            def kept(carry, _):
+                def inner(c, _):
+                    key, state, tunes = c
+                    return gibbs_iter(key, state, tunes,
+                                      jnp.asarray(False)), None
+                carry, _ = jax.lax.scan(inner, carry, length=thin)
+                return carry, pack_monitored(carry[1])
+            (key, state, tunes), rows = jax.lax.scan(
+                kept, (key, state, tunes), length=chunk)
+            return key, state, tunes, rows
+
+        warm_j = jax.jit(jax.vmap(warm_only))
+        chunk_j = jax.jit(jax.vmap(kept_chunk))
+        carry = jax.block_until_ready(warm_j(keys, state0, tunes0))
+        print(f"MCMC burnin done ({burnin} iterations)", flush=True)
+        pieces = []
+        done = 0
+        tloop = time.time()
+        while done < n_kept - (n_kept % chunk):
+            key_f, state_f, tunes_f, r = chunk_j(*carry)
+            carry = (key_f, state_f, tunes_f)
+            r = jax.block_until_ready(r)
+            pieces.append(np.asarray(r))
+            done += chunk
+            rate = done / max(time.time() - tloop, 1e-9)
+            eta = (n_kept - done) / max(rate, 1e-9)
+            print(f"  {100 * done // n_kept:3d}% kept "
+                  f"[{done}/{n_kept} rows, ETA {eta:,.0f}s]", flush=True)
+        rem = n_kept - done
+        if rem:
+            rem_j = jax.jit(jax.vmap(
+                lambda k, s, t: run_chain_tail(k, s, t, rem)))
+            key_f, state_f, tunes_f, r = rem_j(*carry)
+            carry = (key_f, state_f, tunes_f)
+            pieces.append(np.asarray(jax.block_until_ready(r)))
+        key_f, state_f, tunes_f = carry
+        rows = np.concatenate(pieces, axis=1)
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC: {chains} chains x {iters} iterations "

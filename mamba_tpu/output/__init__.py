@@ -8,6 +8,9 @@ from .diagnostics import (gelmandiag, gewekediag, heideldiag, pcramer,
                           rafterydiag)
 from .fileio import read_chains, readcoda, write_chains
 from .modelstats import dic, logpdf_chains, predict
+from . import plot as plots
+from .plot import autocorplot, barplot, contourplot, densityplot, draw, \
+    meanplot, mixeddensityplot, plot, traceplot
 
 __all__ = [
     "Chains", "ModelChains", "ChainSummary",
@@ -16,4 +19,6 @@ __all__ = [
     "gelmandiag", "gewekediag", "heideldiag", "rafterydiag", "pcramer",
     "read_chains", "readcoda", "write_chains",
     "dic", "logpdf_chains", "predict",
+    "plot", "draw", "traceplot", "densityplot", "meanplot", "autocorplot",
+    "barplot", "contourplot", "mixeddensityplot",
 ]

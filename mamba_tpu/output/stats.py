@@ -30,6 +30,14 @@ def _header(c: Chains) -> str:
                 ",".join(str(i) for i in c.chains), c.niter))
 
 
+def cummean_arr(x: np.ndarray) -> np.ndarray:
+    """Running means over the leading axis (reference cummean,
+    src/utils.jl:50-60)."""
+    x = np.asarray(x, dtype=float)
+    n = np.arange(1, x.shape[0] + 1).reshape((-1,) + (1,) * (x.ndim - 1))
+    return np.cumsum(x, axis=0) / n
+
+
 def autocov(x: np.ndarray, lags) -> np.ndarray:
     """Biased (1/n) autocovariances at the given lags over the leading axis;
     x may be (n,) or (n, p)."""

@@ -67,7 +67,11 @@ def nutsepsilon(key, x, logfgrad):
 
     def probe(eps):
         _, rp, logfp, _ = _leapfrog(x, r0, grad0, eps, logfgrad)
-        return jnp.exp(logfp - logf0 - 0.5 * (jnp.dot(rp, rp) - jnp.dot(r0, r0)))
+        prob = jnp.exp(logfp - logf0
+                       - 0.5 * (jnp.dot(rp, rp) - jnp.dot(r0, r0)))
+        # NaN (diverged probe) counts as accept-prob 0 so the search halves
+        # the step instead of silently returning the current epsilon
+        return jnp.where(jnp.isnan(prob), 0.0, prob)
 
     eps = jnp.asarray(1.0, dt)
     prob = probe(eps)
@@ -151,6 +155,11 @@ def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
          x_ck, r_ck) = c
         x, r, logf, grad = _leapfrog(x, r, grad, pm * eps, logfgrad)
         logp = logf - 0.5 * jnp.dot(r, r)
+        # a diverged trajectory can hit NaN log-densities (e.g. a Cholesky
+        # of a wildly indefinite matrix); treat as -inf so the divergence
+        # machinery fires instead of NaN-poisoning the accept statistics
+        # (which would freeze dual averaging — and the chain — permanently)
+        logp = jnp.where(jnp.isnan(logp), -jnp.inf, logp)
         valid = logu0 < logp
         diverged = ~(logu0 < logp + 1000.0)
         nprime = nprime + valid.astype(jnp.int32)

@@ -275,37 +275,41 @@ class CompiledModel:
     def monitor_spec(self):
         """(names, flat element labels, pack fn) for monitored nodes.
         Labels follow the reference's ``beta[1]`` convention
-        (src/variate.jl:76-88)."""
-        monitored = self.model.keys("monitor")
+        (src/variate.jl:76-88); nodes may monitor a subset of elements via
+        1-based column-major index vectors (reference setmonitor!,
+        dependent.jl:31-48)."""
+        monitored = sorted(self.model.keys("monitor"))
         labels = []
-        shapes = {}
+        selections = []      # (name, shape, indices-or-None)
         for n in monitored:
             shape = (self.sites[n].shape if n in self.sites
                      else self.logical_shapes[n])
-            labels.extend(elementwise_names(n, shape))
-            shapes[n] = shape
-        spec = make_ravel_spec({n: np.zeros(shapes[n]) for n in monitored},
-                               dtype=self.dtype)
-        # keep reference-style ordering: monitored nodes in topo order, but
-        # RavelSpec sorts names — rebuild labels in the spec's order
-        labels = []
-        for n in spec.names:
-            labels.extend(elementwise_names(n, shapes[n]))
+            size = int(np.prod(shape)) if shape else 1
+            idx = self.model.nodes[n].monitor_indices(size)
+            names_n = elementwise_names(n, shape)
+            if idx is None:
+                labels.extend(names_n)
+            else:
+                labels.extend(names_n[i] for i in idx)
+            selections.append((n, shape, idx))
 
         def pack_monitored(state):
             vals = self.eval_logicals(state)
             # Julia column-major flatten for >1-d arrays
             flat = []
-            for n in spec.names:
+            for n, shape, idx in selections:
                 v = vals[n]
                 if v.ndim > 1:
                     v = jnp.reshape(jnp.transpose(v), (-1,))
                 else:
                     v = jnp.reshape(v, (-1,))
-                flat.append(v.astype(self.dtype))
+                v = v.astype(self.dtype)
+                if idx is not None:
+                    v = v[jnp.asarray(idx)]
+                flat.append(v)
             return jnp.concatenate(flat) if flat else jnp.zeros((0,), self.dtype)
 
-        return tuple(spec.names), labels, pack_monitored
+        return tuple(monitored), labels, pack_monitored
 
 
 def compile_model(model: Model, inputs: dict, inits: dict, dtype=None) -> CompiledModel:

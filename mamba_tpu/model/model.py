@@ -64,7 +64,7 @@ class Model:
         if kind == "logical":
             return [n for n in self.topo if isinstance(self.nodes[n], LogicalNode)]
         if kind == "monitor":
-            return [n for n in self.topo if self.nodes[n].monitor]
+            return [n for n in self.topo if self.nodes[n].monitored]
         if kind == "block":
             block = args[0] if args else 0
             if block == 0:

@@ -32,9 +32,29 @@ def _argnames(fn: Callable) -> tuple[str, ...]:
 class Node:
     fn: Callable
     dims: int
-    monitor: bool
+    #: True/False, or a tuple of 1-based column-major element indices
+    #: (reference setmonitor! index vectors, dependent.jl:31-48)
+    monitor: object
     deps: tuple[str, ...]
     name: Optional[str] = None  # stamped by Model()
+
+    @property
+    def monitored(self) -> bool:
+        if isinstance(self.monitor, bool):
+            return self.monitor
+        return len(self.monitor) > 0
+
+    def monitor_indices(self, size: int):
+        """0-based flat (column-major) indices of monitored elements, or
+        None for all."""
+        if isinstance(self.monitor, bool):
+            return None
+        idx = sorted(int(i) - 1 for i in self.monitor)
+        if any(i < 0 or i >= size for i in idx):
+            raise ValueError(
+                f"monitor indices out of range for node {self.name!r} "
+                f"(size {size})")
+        return idx
 
     @property
     def kind(self) -> str:
@@ -64,7 +84,13 @@ class LogicalNode(Node):
         return "logical"
 
 
-def Stochastic(dims_or_fn, fn=None, monitor: bool = True) -> StochasticNode:
+def _norm_monitor(monitor):
+    if isinstance(monitor, bool):
+        return monitor
+    return tuple(int(i) for i in monitor)
+
+
+def Stochastic(dims_or_fn, fn=None, monitor=True) -> StochasticNode:
     """``Stochastic(f)``, ``Stochastic(d, f)``, ``Stochastic(d, f, monitor)``
     — mirrors the reference constructors (dependent.jl:137-152).  ``d`` is the
     array dimensionality of the node's value (0 = scalar)."""
@@ -72,19 +98,21 @@ def Stochastic(dims_or_fn, fn=None, monitor: bool = True) -> StochasticNode:
         dims, f = 0, dims_or_fn
     elif callable(dims_or_fn):
         # Stochastic(f, monitor) form
-        dims, f, monitor = 0, dims_or_fn, bool(fn)
+        dims, f, monitor = 0, dims_or_fn, fn
     else:
         dims, f = int(dims_or_fn), fn
-    return StochasticNode(fn=f, dims=dims, monitor=monitor, deps=_argnames(f))
+    return StochasticNode(fn=f, dims=dims, monitor=_norm_monitor(monitor),
+                          deps=_argnames(f))
 
 
-def Logical(dims_or_fn, fn=None, monitor: bool = True) -> LogicalNode:
+def Logical(dims_or_fn, fn=None, monitor=True) -> LogicalNode:
     """``Logical(f)``, ``Logical(d, f)``, ``Logical(d, f, monitor)``
     (reference: dependent.jl:75-88)."""
     if callable(dims_or_fn) and fn is None:
         dims, f = 0, dims_or_fn
     elif callable(dims_or_fn):
-        dims, f, monitor = 0, dims_or_fn, bool(fn)
+        dims, f, monitor = 0, dims_or_fn, fn
     else:
         dims, f = int(dims_or_fn), fn
-    return LogicalNode(fn=f, dims=dims, monitor=monitor, deps=_argnames(f))
+    return LogicalNode(fn=f, dims=dims, monitor=_norm_monitor(monitor),
+                       deps=_argnames(f))

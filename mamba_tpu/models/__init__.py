@@ -5,6 +5,6 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import eyes, line, rats, seeds
+from . import blocker, dyes, eyes, line, pumps, rats, seeds, stacks
 
-__all__ = ["eyes", "line", "rats", "seeds"]
+__all__ = ["blocker", "dyes", "eyes", "line", "pumps", "rats", "seeds", "stacks"]

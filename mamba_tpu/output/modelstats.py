@@ -36,8 +36,13 @@ def _site_columns(mc: ModelChains):
     for n in monitored:
         shape = cm.sites[n].shape if n in cm.sites else cm.logical_shapes[n]
         size = int(np.prod(shape)) if shape else 1
-        cols[n] = (off, shape)
-        off += size
+        idx = cm.model.nodes[n].monitor_indices(size)
+        if idx is None:
+            cols[n] = (off, shape)
+            off += size
+        else:
+            # partially-monitored nodes can't be reconstructed from storage
+            off += len(idx)
     return cols
 
 

@@ -60,3 +60,53 @@ def test_seeds_golden():
     assert abs(s["alpha0"]["Mean"] + 0.5562) < 0.15
     assert abs(s["alpha12"]["Mean"] + 0.7464) < 0.3
     assert abs(s["s2"]["Mean"] - 0.0857) < 0.07
+
+
+@pytest.mark.slow
+def test_pumps_golden():
+    from mamba_tpu.models import pumps
+    model, inputs, inits = pumps.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha"]["Mean"] - 0.6968) < 0.08
+    assert abs(s["beta"]["Mean"] - 0.9304) < 0.16
+    assert abs(s["theta[1]"]["Mean"] - 0.0599) < 0.01
+
+
+@pytest.mark.slow
+def test_dyes_golden():
+    from mamba_tpu.models import dyes
+    model, inputs, inits = dyes.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["theta"]["Mean"] - 1526.72) < 8.0
+    assert abs(s["mu[1]"]["Mean"] - 1511.48) < 8.0
+
+
+@pytest.mark.slow
+def test_blocker_golden():
+    from mamba_tpu.models import blocker
+    model, inputs, inits = blocker.build()
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["d"]["Mean"] + 0.2556) < 0.05
+    assert abs(s["delta_new"]["Mean"] + 0.2501) < 0.08
+
+
+@pytest.mark.slow
+def test_stacks_golden_and_monitor_mask():
+    from mamba_tpu.models import stacks
+    model, inputs, inits = stacks.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["b[1]"]["Mean"] - 0.8369) < 0.08
+    assert abs(s["b0"]["Mean"] + 38.777) < 3.0
+    assert abs(s["sigma"]["Mean"] - 3.488) < 0.5
+    assert abs(s["outlier[21]"]["Mean"] - 0.60) < 0.25
+    # element-level monitor mask: only the reference's 4 outlier entries
+    stored = [n for n in sim.names if n.startswith("outlier")]
+    assert stored == ["outlier[1]", "outlier[3]", "outlier[4]", "outlier[21]"]

@@ -28,7 +28,7 @@ from mamba_tpu.models import rats
 # "compiled MCMC software" CPU class.
 BASELINE_CPU_ITERS_S = 2300.0
 
-CHAINS = 64
+CHAINS = 1024
 ITERS = 1000
 BURNIN = 300
 

@@ -74,7 +74,7 @@ def build(scheme: str = "reference"):
         ])
     elif scheme == "nuts":
         model.set_samplers([
-            NUTS(["alpha", "beta", "mu_alpha", "mu_beta"]),
+            NUTS(["alpha", "beta", "mu_alpha", "mu_beta"], mass_window=100),
             Slice(["s2_c", "s2_alpha", "s2_beta"], 10.0, form="univariate"),
         ])
     else:

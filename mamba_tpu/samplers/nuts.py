@@ -46,15 +46,29 @@ class NUTSTune(NamedTuple):
     kappa: jax.Array
     t0: jax.Array
     target: jax.Array
+    # diagonal mass-matrix adaptation (beyond the reference, which runs
+    # identity-mass NUTS only): minv is the inverse mass = running posterior
+    # variance estimate, learned from Welford statistics over warmup windows
+    # (Stan-style).  window == 0 disables adaptation.
+    minv: jax.Array
+    w_n: jax.Array
+    w_mean: jax.Array
+    w_m2: jax.Array
+    window: jax.Array
 
 
-def _leapfrog(x, r, grad, eps, logfgrad):
-    """One leapfrog step (reference nuts.jl:129-136)."""
+def _leapfrog(x, r, grad, eps, logfgrad, minv=None):
+    """One leapfrog step (reference nuts.jl:129-136); ``minv`` is the
+    diagonal inverse mass (None = identity)."""
     r = r + (0.5 * eps) * grad
-    x = x + eps * r
+    x = x + eps * (r if minv is None else minv * r)
     logf, grad = logfgrad(x)
     r = r + (0.5 * eps) * grad
     return x, r, logf, grad
+
+
+def _kinetic(r, minv):
+    return 0.5 * (jnp.dot(r, r) if minv is None else jnp.dot(r, minv * r))
 
 
 def nutsepsilon(key, x, logfgrad):
@@ -90,7 +104,8 @@ def nutsepsilon(key, x, logfgrad):
     return eps
 
 
-def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6) -> NUTSTune:
+def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6,
+              mass_window: int = 0) -> NUTSTune:
     """Tune init (reference NUTSTune ctor, nuts.jl:22-27; epsilon search when
     not given, nuts.jl:29-30)."""
     x0 = jnp.asarray(x0)
@@ -103,7 +118,10 @@ def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6) -> NUTSTune:
         Hbar=z, mu=z, m=jnp.asarray(0, jnp.int32), alpha=z,
         nalpha=jnp.asarray(0, jnp.int32),
         gamma=jnp.asarray(0.05, dt), kappa=jnp.asarray(0.75, dt),
-        t0=jnp.asarray(10.0, dt), target=jnp.asarray(target, dt))
+        t0=jnp.asarray(10.0, dt), target=jnp.asarray(target, dt),
+        minv=jnp.ones_like(x0), w_n=jnp.asarray(0, jnp.int32),
+        w_mean=jnp.zeros_like(x0), w_m2=jnp.zeros_like(x0),
+        window=jnp.asarray(mass_window, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -124,21 +142,24 @@ def _ckpt_idxs(leaf):
     return idx_min, idx_max
 
 
-def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth):
+def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth, minv):
     """U-turn between the current (odd) leaf and every buffered subtree
     start it closes.  Criterion oriented by build direction ``pm``:
-    dx = pm * (x_new - x_start); turned iff dx.r_start < 0 or dx.r_new < 0
-    (reference nouturn, nuts.jl:183-187)."""
+    dx = pm * (x_new - x_start); turned iff dx.v_start < 0 or dx.v_new < 0
+    with v the velocity minv*r (reference nouturn, nuts.jl:183-187)."""
+    def vel(r):
+        return r if minv is None else minv * r
+
     def body(i, turned):
         dx = pm * (x - x_ck[i])
-        t = (jnp.dot(dx, r_ck[i]) < 0) | (jnp.dot(dx, r) < 0)
+        t = (jnp.dot(dx, vel(r_ck[i])) < 0) | (jnp.dot(dx, vel(r)) < 0)
         inrange = (i >= idx_min) & (i <= idx_max)
         return turned | (t & inrange)
     return jax.lax.fori_loop(0, max_depth, body, jnp.asarray(False))
 
 
 def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
-                   x_ck, r_ck, max_depth, dt):
+                   x_ck, r_ck, max_depth, dt, minv=None):
     """Build ``2**j`` leapfrog steps in direction ``pm`` from end state
     (x0, r0, grad0).  Returns the new end state, the subtree's uniform
     proposal, candidate count n', validity s', and accept stats — the same
@@ -153,8 +174,8 @@ def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
     def body(c):
         (leaf, key, x, r, grad, xprop, nprime, _logf, sprime, alpha, nalpha,
          x_ck, r_ck) = c
-        x, r, logf, grad = _leapfrog(x, r, grad, pm * eps, logfgrad)
-        logp = logf - 0.5 * jnp.dot(r, r)
+        x, r, logf, grad = _leapfrog(x, r, grad, pm * eps, logfgrad, minv)
+        logp = logf - _kinetic(r, minv)
         # a diverged trajectory can hit NaN log-densities (e.g. a Cholesky
         # of a wildly indefinite matrix); treat as -inf so the divergence
         # machinery fires instead of NaN-poisoning the accept statistics
@@ -179,7 +200,8 @@ def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
         r_ck = jnp.where(even, r_ck.at[idx_max].set(r), r_ck)
         turned = jnp.where(
             even, False,
-            _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth))
+            _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max,
+                            max_depth, minv))
 
         sprime = sprime & ~diverged & ~turned
         return (leaf + 1, key, x, r, grad, xprop, nprime, logf, sprime,
@@ -194,17 +216,19 @@ def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
     return key, x, r, grad, xprop, nprime, sprime, alpha, nalpha
 
 
-def nuts_sub(key, x, epsilon, logfgrad, max_depth=10):
+def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
     """One NUTS transition at fixed step size (reference nuts_sub!,
-    nuts.jl:95-126)."""
+    nuts.jl:95-126).  With ``minv``, momenta are drawn from N(0, M) and the
+    dynamics use the diagonal metric."""
     x = jnp.asarray(x)
     dt = x.dtype
     dim = x.shape[0]
     key, kr, ku = jax.random.split(key, 3)
 
-    r0 = jax.random.normal(kr, (dim,), dt)
+    z = jax.random.normal(kr, (dim,), dt)
+    r0 = z if minv is None else z / jnp.sqrt(minv)
     logf0, grad0 = logfgrad(x)
-    logp0 = logf0 - 0.5 * jnp.dot(r0, r0)
+    logp0 = logf0 - _kinetic(r0, minv)
     logu0 = logp0 + jnp.log(jax.random.uniform(ku, (), dt))
 
     x_ck = jnp.zeros((max_depth, dim), dt)
@@ -225,7 +249,8 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10):
         g_end = jnp.where(pm < 0, gm, gp)
         (key, x_new, r_new, g_new, xprop, nprime, sprime, alpha2, nalpha2
          ) = _build_subtree(key, x_end, r_end, g_end, pm, j, epsilon,
-                            logfgrad, logp0, logu0, x_ck, r_ck, max_depth, dt)
+                            logfgrad, logp0, logu0, x_ck, r_ck, max_depth,
+                            dt, minv)
         xm = jnp.where(pm < 0, x_new, xm)
         rm = jnp.where(pm < 0, r_new, rm)
         gm = jnp.where(pm < 0, g_new, gm)
@@ -238,7 +263,9 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10):
         xcur = jnp.where(accept, xprop, xcur)
         n = n + nprime
         xdiff = xp - xm
-        s = sprime & (jnp.dot(xdiff, rm) >= 0) & (jnp.dot(xdiff, rp) >= 0)
+        vm = rm if minv is None else minv * rm
+        vp = rp if minv is None else minv * rp
+        s = sprime & (jnp.dot(xdiff, vm) >= 0) & (jnp.dot(xdiff, vp) >= 0)
         return (j + 1, key, xm, rm, gm, xp, rp, gp, xcur, n, s, alpha2, nalpha2)
 
     init = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
@@ -263,7 +290,25 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
     eps_used = jnp.where(adapt, tune.epsilon,
                          jnp.where(tune.m > 0, tune.epsilonbar, tune.epsilon))
 
-    x2, alpha, nalpha = nuts_sub(key, x, eps_used, logfgrad, max_depth)
+    use_mass = tune.window > 0
+    minv = jnp.where(use_mass, tune.minv, jnp.ones_like(tune.minv))
+    x2, alpha, nalpha = nuts_sub(key, x, eps_used, logfgrad, max_depth,
+                                 minv=minv)
+
+    # Welford update + windowed inverse-mass refresh (warmup only)
+    do_w = adapt & use_mass
+    w_n = tune.w_n + jnp.where(do_w, 1, 0).astype(jnp.int32)
+    delta = x2 - tune.w_mean
+    w_mean = jnp.where(do_w, tune.w_mean + delta / jnp.maximum(w_n, 1), tune.w_mean)
+    w_m2 = jnp.where(do_w, tune.w_m2 + delta * (x2 - w_mean), tune.w_m2)
+    at_window = do_w & (w_n >= tune.window)
+    nw = jnp.maximum(w_n, 2).astype(dt)
+    var = w_m2 / (nw - 1.0)
+    var_reg = (nw / (nw + 5.0)) * var + 1e-3 * (5.0 / (nw + 5.0))
+    minv_new = jnp.where(at_window, var_reg, tune.minv)
+    w_n = jnp.where(at_window, 0, w_n)
+    w_mean = jnp.where(at_window, jnp.zeros_like(w_mean), w_mean)
+    w_m2 = jnp.where(at_window, jnp.zeros_like(w_m2), w_m2)
 
     m = tune.m + jnp.where(adapt, 1, 0).astype(jnp.int32)
     mf = m.astype(dt)
@@ -280,28 +325,37 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
         Hbar=jnp.where(adapt, Hbar_new, tune.Hbar),
         mu=mu, m=m, alpha=alpha,
         nalpha=nalpha, gamma=tune.gamma, kappa=tune.kappa, t0=tune.t0,
-        target=tune.target)
+        target=tune.target, minv=minv_new, w_n=w_n, w_mean=w_mean,
+        w_m2=w_m2, window=tune.window)
     return x2, new
 
 
 class NUTS(SamplerSpec):
-    """NUTS(params; epsilon=None, target=0.6, max_depth=10) — adapts during
-    burnin, frozen step size after (reference NUTS ctor nuts.jl:47-56)."""
+    """NUTS(params; epsilon=None, target=0.6, max_depth=10,
+    mass_window=0) — adapts during burnin, frozen step size after
+    (reference NUTS ctor nuts.jl:47-56).
+
+    ``mass_window > 0`` additionally learns a diagonal mass matrix over
+    warmup windows of that many iterations (beyond the reference — its NUTS
+    is identity-mass only; a badly-scaled posterior like rats gains an
+    order of magnitude in ESS/draw)."""
 
     transform = True
     needs_grad = True
 
     def __init__(self, params, epsilon=None, target: float = 0.6,
-                 max_depth: int = 10):
+                 max_depth: int = 10, mass_window: int = 0):
         super().__init__(params)
         self.epsilon = epsilon
         self.target = float(target)
         self.max_depth = int(max_depth)
+        self.mass_window = int(mass_window)
 
     def kernel_init(self, key, x0, logfgrad):
         def lf(v):
             return logfgrad(v)
-        return nuts_init(key, x0, lf, epsilon=self.epsilon, target=self.target)
+        return nuts_init(key, x0, lf, epsilon=self.epsilon,
+                         target=self.target, mass_window=self.mass_window)
 
     def kernel_step(self, key, x, tune, logfgrad, adapt):
         return nuts_step(key, x, tune, logfgrad, adapt, self.max_depth)

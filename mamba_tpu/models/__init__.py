@@ -5,6 +5,6 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import blocker, dyes, eyes, line, pumps, rats, seeds, stacks
+from . import birats, blocker, dyes, eyes, glmm, line, pumps, rats, salm, seeds, stacks
 
-__all__ = ["blocker", "dyes", "eyes", "line", "pumps", "rats", "seeds", "stacks"]
+__all__ = ["birats", "blocker", "dyes", "eyes", "glmm", "line", "pumps", "rats", "salm", "seeds", "stacks"]

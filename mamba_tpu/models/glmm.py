@@ -1,0 +1,56 @@
+"""Stretch config (BASELINE.json): large hierarchical logistic GLMM —
+G groups x n observations, random intercepts, shared fixed effects.
+
+    y[g,i] ~ Bernoulli( sigmoid( x[g,i,:] @ beta + b[g] ) )
+    b[g]   ~ Normal(0, sqrt(s2))
+    beta   ~ Normal(0, sqrt(10))
+    s2     ~ InverseGamma(2, 2)
+
+At G=10,000 the NUTS block is ~10k-dimensional — the scale regime the
+reference cannot touch (its per-coordinate AMWG sweep would evaluate the
+full likelihood 10k times per iteration; here one gradient evaluation is a
+single fused (G, n, P) batched pass on the MXU/VPU).  Synthetic data with
+known truth; ``build`` returns (model, inputs, inits, truth).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.model import Model
+from ..model.nodes import Stochastic
+from ..ops.distributions import Bernoulli, InverseGamma, Normal
+from ..samplers import NUTS, Slice
+
+P = 4
+
+
+def build(G: int = 10_000, n: int = 10, seed: int = 0,
+          mass_window: int = 100):
+    rng = np.random.default_rng(seed)
+    beta_true = np.array([1.0, -0.5, 0.25, 0.0])
+    s2_true = 0.5
+    b_true = rng.normal(0, np.sqrt(s2_true), G)
+    X = rng.normal(0, 1, (G, n, P))
+    logits = X @ beta_true + b_true[:, None]
+    Y = (rng.random((G, n)) < 1 / (1 + np.exp(-logits))).astype(float)
+
+    model = Model(
+        y=Stochastic(2, lambda x, beta, b: Bernoulli(
+            jax.nn.sigmoid(jnp.einsum("gnp,p->gn", x, beta) + b[:, None])),
+            monitor=False),
+        b=Stochastic(1, lambda s2: Normal(jnp.zeros(G), jnp.sqrt(s2)),
+                     monitor=False),
+        beta=Stochastic(1, lambda: Normal(jnp.zeros(P), jnp.sqrt(10.0))),
+        s2=Stochastic(lambda: InverseGamma(2.0, 2.0)),
+    )
+    model.set_samplers([
+        NUTS(["beta", "b"], mass_window=mass_window),
+        Slice("s2", 1.0, form="univariate"),
+    ])
+    inputs = {"x": X}
+    inits = [{"y": Y, "beta": np.zeros(P), "b": np.zeros(G), "s2": 1.0}]
+    truth = {"beta": beta_true, "s2": s2_true, "b": b_true}
+    return model, inputs, inits, truth

@@ -195,6 +195,11 @@ def MvNormal(*args, mu=None, cov=None, scale_tril=None, sigma=None):
         s = jnp.asarray(s)
         if s.ndim == m.ndim - 1 or s.ndim == 0:
             return MvNormalIso(m, s)
+        if s.shape == m.shape:
+            return MvNormalDiag(m, s)
+        if (s.ndim >= 2 and s.shape[-1] == s.shape[-2] == m.shape[-1]):
+            # shared (or batched) covariance matrix with batched means
+            return MvNormalFull(m, jnp.linalg.cholesky(s))
         if s.ndim == m.ndim:
             return MvNormalDiag(m, s)
         return MvNormalFull(m, jnp.linalg.cholesky(s))

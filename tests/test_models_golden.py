@@ -110,3 +110,39 @@ def test_stacks_golden_and_monitor_mask():
     # element-level monitor mask: only the reference's 4 outlier entries
     stored = [n for n in sim.names if n.startswith("outlier")]
     assert stored == ["outlier[1]", "outlier[3]", "outlier[4]", "outlier[21]"]
+
+
+@pytest.mark.slow
+def test_salm_golden():
+    from mamba_tpu.models import salm
+    model, inputs, inits = salm.build()
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha"]["Mean"] - 2.010) < 0.35
+    assert abs(s["beta"]["Mean"] - 0.3543) < 0.1
+    assert abs(s["s2"]["Mean"] - 0.0691) < 0.05
+
+
+@pytest.mark.slow
+def test_birats_golden():
+    from mamba_tpu.models import birats
+    model, inputs, inits = birats.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu_beta[1]"]["Mean"] - 106.70) < 1.5
+    assert abs(s["mu_beta[2]"]["Mean"] - 6.180) < 0.1
+    assert abs(s["sigmaC"]["Mean"] - 6.143) < 0.4
+
+
+@pytest.mark.slow
+def test_glmm_truth_recovery():
+    from mamba_tpu.models import glmm
+    model, inputs, inits, truth = glmm.build(G=200, n=10, seed=1)
+    sim = mt.mcmc(model, inputs, inits, 700, burnin=350, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    for i in range(4):
+        assert abs(s[f"beta[{i+1}]"]["Mean"] - truth["beta"][i]) < 0.25
+    assert 0.15 < s["s2"]["Mean"] < 1.2

@@ -4,6 +4,7 @@ functions ``<name>_init`` / ``<name>_step`` plus an engine-facing
 
 from .base import BlockKernel, SamplerSpec, metropolis_accept
 from .abc import ABC, ABCTune
+from .custom import Gibbs
 from .binary import (BHMC, BIA, BMC3, BMG, bhmc_init, bhmc_step, bia_init,
                      bia_step, bmc3_init, bmc3_step, bmg_init, bmg_step)
 from .dgs import DGS, DGSTune, dgs_step, discrete_step
@@ -20,7 +21,7 @@ from .slice import (Slice, slice_init, slice_multivariate_step,
 
 __all__ = [
     "BlockKernel", "SamplerSpec", "metropolis_accept",
-    "ABC", "ABCTune",
+    "ABC", "ABCTune", "Gibbs",
     "BHMC", "BIA", "BMC3", "BMG", "bhmc_init", "bhmc_step", "bia_init",
     "bia_step", "bmc3_init", "bmc3_step", "bmg_init", "bmg_step",
     "AMM", "amm_init", "amm_step",

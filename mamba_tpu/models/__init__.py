@@ -5,6 +5,8 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import birats, blocker, dyes, eyes, glmm, line, pumps, rats, salm, seeds, stacks
+from . import (birats, blocker, dyes, eyes, glmm, line, magnesium, pumps,
+               rats, salm, seeds, stacks, surgical)
 
-__all__ = ["birats", "blocker", "dyes", "eyes", "glmm", "line", "pumps", "rats", "salm", "seeds", "stacks"]
+__all__ = ["birats", "blocker", "dyes", "eyes", "glmm", "line", "magnesium",
+           "pumps", "rats", "salm", "seeds", "stacks", "surgical"]

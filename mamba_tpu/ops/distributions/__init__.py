@@ -9,6 +9,7 @@ from .univariate import (Normal, LogNormal, Exponential, Gamma, InverseGamma,
 from .discrete import (Bernoulli, Binomial, Poisson, Geometric,
                        NegativeBinomial, Categorical, DiscreteUniform,
                        Hypergeometric)
+from .mixed import Blockwise, Mixed
 from .multivariate import (MvNormal, MvNormalIso, MvNormalDiag, MvNormalFull,
                            MvNormalCanon, MvTDist, Dirichlet, Multinomial,
                            BDiagNormal, Wishart, InverseWishart)
@@ -22,6 +23,7 @@ __all__ = [
     "Bernoulli", "Binomial", "Poisson", "Geometric", "NegativeBinomial",
     "Categorical", "DiscreteUniform", "Hypergeometric",
     "MvNormal", "MvNormalIso", "MvNormalDiag", "MvNormalFull", "MvNormalCanon",
+    "Mixed", "Blockwise",
     "MvTDist", "Dirichlet", "Multinomial", "BDiagNormal", "Wishart",
     "InverseWishart",
 ]

@@ -206,3 +206,31 @@ def test_batched_params():
     mus = np.array([0.0, 1.0, 2.0])
     lp = d.Normal(jnp.asarray(mus), 1.0).log_prob(jnp.asarray(1.0))
     assert_close(lp, st.norm(mus, 1).logpdf(1.0))
+
+
+def test_mixed_distribution():
+    """Heterogeneous per-element families (reference mixed
+    Array{UnivariateDistribution} nodes, distributionstruct.jl:22-79)."""
+    import jax
+    from mamba_tpu.ops.distributions import Mixed
+    import mamba_tpu as mt
+    from scipy import stats as ss
+
+    m = Mixed(mt.Normal(1.0, 2.0), mt.Gamma(3.0, 2.0), mt.Uniform(0.0, 4.0))
+    x = jnp.array([0.5, 1.5, 2.0])
+    expect = (ss.norm(1, 2).logpdf(0.5) + ss.gamma(3, scale=2).logpdf(1.5)
+              + ss.uniform(0, 4).logpdf(2.0))
+    assert_close(m.log_prob(x), expect, rtol=1e-6)
+    assert m.event_shape == (3,)
+    # out-of-support element detected
+    assert not bool(m.in_support(jnp.array([0.5, -1.0, 2.0])))
+    # sampling: each column follows its family
+    s = np.asarray(m.sample(jax.random.key(0), (20000,)))
+    assert abs(s[:, 0].mean() - 1.0) < 0.05
+    assert abs(s[:, 1].mean() - 6.0) < 0.15
+    assert (s[:, 2] >= 0).all() and (s[:, 2] <= 4).all()
+    # blockwise bijector round-trips
+    b = m.bijector()
+    u = b.inverse(x)
+    np.testing.assert_allclose(np.asarray(b.forward(u)), np.asarray(x),
+                               rtol=1e-6)

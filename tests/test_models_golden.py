@@ -146,3 +146,28 @@ def test_glmm_truth_recovery():
     for i in range(4):
         assert abs(s[f"beta[{i+1}]"]["Mean"] - truth["beta"][i]) < 0.25
     assert 0.15 < s["s2"]["Mean"] < 1.2
+
+
+@pytest.mark.slow
+def test_surgical_golden():
+    from mamba_tpu.models import surgical
+    model, inputs, inits = surgical.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu"]["Mean"] + 2.550) < 0.12
+    assert abs(s["pop_mean"]["Mean"] - 0.0731) < 0.01
+    assert abs(s["p[1]"]["Mean"] - 0.0536) < 0.012
+
+
+@pytest.mark.slow
+def test_magnesium_golden_mixed_node():
+    """Mixed per-element prior families in one node (magnesium.jl:74-84)."""
+    from mamba_tpu.models import magnesium
+    model, inputs, inits = magnesium.build()
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["tau[6]"]["Mean"] - 0.568) < 0.12
+    assert abs(s["OR[1]"]["Mean"] - 0.478) < 0.12
+    assert abs(s["OR[3]"]["Mean"] - 0.431) < 0.12

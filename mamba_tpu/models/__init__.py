@@ -5,8 +5,9 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import (birats, blocker, dyes, eyes, glmm, line, magnesium, pumps,
-               rats, salm, seeds, stacks, surgical)
+from . import (birats, blocker, dyes, epil, equiv, eyes, glmm, line,
+               magnesium, oxford, pumps, rats, salm, seeds, stacks, surgical)
 
-__all__ = ["birats", "blocker", "dyes", "eyes", "glmm", "line", "magnesium",
-           "pumps", "rats", "salm", "seeds", "stacks", "surgical"]
+__all__ = ["birats", "blocker", "dyes", "epil", "equiv", "eyes", "glmm",
+           "line", "magnesium", "oxford", "pumps", "rats", "salm", "seeds",
+           "stacks", "surgical"]

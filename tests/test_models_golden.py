@@ -161,6 +161,44 @@ def test_surgical_golden():
 
 
 @pytest.mark.slow
+def test_epil_golden():
+    from mamba_tpu.models import epil
+    model, inputs, inits = epil.build()
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha_Base"]["Mean"] - 0.9110) < 0.15
+    assert abs(s["alpha_Trt"]["Mean"] + 0.7593) < 0.4
+    assert abs(s["s2_b1"]["Mean"] - 0.2491) < 0.1
+    assert abs(s["s2_b"]["Mean"] - 0.1352) < 0.06
+
+
+@pytest.mark.slow
+def test_equiv_golden():
+    from mamba_tpu.models import equiv
+    model, inputs, inits = equiv.build()
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu"]["Mean"] - 1.4387) < 0.05
+    assert abs(s["theta"]["Mean"] - 1.0003) < 0.1
+    assert abs(s["pi_"]["Mean"] + 0.1874) < 0.1
+    assert s["equiv"]["Mean"] > 0.8
+
+
+@pytest.mark.slow
+def test_oxford_golden():
+    from mamba_tpu.models import oxford
+    model, inputs, inits = oxford.build()
+    sim = mt.mcmc(model, inputs, inits, 9000, burnin=3000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha"]["Mean"] - 0.5658) < 0.12
+    assert abs(s["beta1"]["Mean"] + 0.0433) < 0.025
+    assert s["s2"]["Mean"] < 0.2
+
+
+@pytest.mark.slow
 def test_magnesium_golden_mixed_node():
     """Mixed per-element prior families in one node (magnesium.jl:74-84)."""
     from mamba_tpu.models import magnesium

@@ -5,9 +5,10 @@ reference's sampling scheme pre-assigned, so
 ``mcmc(*prepend_model(build()), ...)`` reproduces the published golden
 posterior tables (BASELINE.md)."""
 
-from . import (birats, blocker, dyes, epil, equiv, eyes, glmm, line,
-               magnesium, oxford, pumps, rats, salm, seeds, stacks, surgical)
+from . import (asthma, birats, blocker, bones, dogs, dyes, epil, equiv, eyes,
+               glmm, line, lsat, magnesium, mice, oxford, pumps, rats, salm,
+               seeds, stacks, surgical)
 
-__all__ = ["birats", "blocker", "dyes", "epil", "equiv", "eyes", "glmm",
-           "line", "magnesium", "oxford", "pumps", "rats", "salm", "seeds",
-           "stacks", "surgical"]
+__all__ = ["asthma", "birats", "blocker", "bones", "dogs", "dyes", "epil",
+           "equiv", "eyes", "glmm", "line", "lsat", "magnesium", "mice",
+           "oxford", "pumps", "rats", "salm", "seeds", "stacks", "surgical"]

@@ -412,6 +412,14 @@ class Weibull(UnivariateDistribution):
         a, t = _bc(self.alpha, self.theta)
         return t * (-jnp.log1p(-q)) ** (1.0 / a)
 
+    def sf(self, x):
+        a, t = _bc(self.alpha, self.theta)
+        return jnp.exp(-((x / t) ** a))
+
+    def isf(self, s):
+        a, t = _bc(self.alpha, self.theta)
+        return t * (-jnp.log(s)) ** (1.0 / a)
+
 
 @distribution()
 class Pareto(UnivariateDistribution):
@@ -523,18 +531,52 @@ class Truncated(UnivariateDistribution):
 
     def _log_mass(self):
         lo, hi = _bc(self.lo, self.hi)
+        if hasattr(self.base, "sf"):
+            # sf-space mass: exact for right-tail truncation where
+            # cdf(lo) -> 1 loses all precision
+            sf_lo = jnp.where(jnp.isfinite(lo), self.base.sf(lo), 1.0)
+            sf_hi = jnp.where(jnp.isfinite(hi), self.base.sf(hi), 0.0)
+            return jnp.log(sf_lo - sf_hi), 1.0 - sf_lo, 1.0 - sf_hi
         cdf_lo = jnp.where(jnp.isfinite(lo), self.base.cdf(lo), 0.0)
         cdf_hi = jnp.where(jnp.isfinite(hi), self.base.cdf(hi), 1.0)
         return jnp.log(cdf_hi - cdf_lo), cdf_lo, cdf_hi
 
     def log_prob(self, x):
+        if not hasattr(self.base, "cdf"):
+            # improper base (e.g. Truncated(Flat(), ...), dogs.jl:60-70):
+            # no normalizing mass exists; density is the base's, support-
+            # restricted (restriction enforced via in_support).
+            return self.base.log_prob(x)
         lm, _, _ = self._log_mass()
         return self.base.log_prob(x) - lm
 
     def sample(self, key, shape=()):
+        if not hasattr(self.base, "cdf"):
+            # improper base: draws exist only for initialization; land just
+            # inside the truncation region (the reference errors here).
+            lo, hi = _bc(self.lo, self.hi)
+            lo_f, hi_f = jnp.isfinite(lo), jnp.isfinite(hi)
+            e = random.exponential(key, shape + lo.shape)
+            u = random.uniform(key, shape + lo.shape)
+            both = jnp.where(lo_f & hi_f, lo + u * (hi - lo), 0.0)
+            low_only = jnp.where(lo_f & ~hi_f, lo + e, 0.0)
+            hi_only = jnp.where(~lo_f & hi_f, hi - e, 0.0)
+            neither = jnp.where(~lo_f & ~hi_f, random.normal(key, shape + lo.shape), 0.0)
+            return both + low_only + hi_only + neither
+        if hasattr(self.base, "sf") and hasattr(self.base, "isf"):
+            # survival-space sampling: numerically exact deep in the right
+            # tail (cdf_lo -> 1 rounds q to 1.0 in f32 and yields inf draws;
+            # e.g. mice.jl censoring at 40 with scale ~3)
+            lo, hi = _bc(self.lo, self.hi)
+            sf_lo = jnp.where(jnp.isfinite(lo), self.base.sf(lo), 1.0)
+            sf_hi = jnp.where(jnp.isfinite(hi), self.base.sf(hi), 0.0)
+            u = random.uniform(key, shape + sf_lo.shape)
+            s = sf_hi + (1.0 - u) * (sf_lo - sf_hi)
+            return self.base.isf(s)
         _, cdf_lo, cdf_hi = self._log_mass()
         u = random.uniform(key, shape + cdf_lo.shape)
-        q = cdf_lo + u * (cdf_hi - cdf_lo)
+        q = jnp.minimum(cdf_lo + u * (cdf_hi - cdf_lo),
+                        1.0 - jnp.finfo(cdf_lo.dtype).epsneg)
         if hasattr(self.base, "icdf"):
             return self.base.icdf(q)
         return _bisect_icdf(self.base, q, self.lo, self.hi)

@@ -102,20 +102,51 @@ class SliceSimplex(SamplerSpec):
     def build(self, cm):
         from .base import BlockKernel
 
-        per_site = [(name,) + cm.block_functions((name,), False)
-                    for name in self.params]
+        # a site of shape (..., K) is a batch of independent K-simplexes
+        # (reference SliceSimplex_sub! over Array{MultivariateDistribution},
+        # slicesimplex.jl:61-79): each row gets its own shrinking-simplex
+        # pass, sequentially, against the block log-density.
+        per_site = []
+        for name in self.params:
+            shape = cm.sites[name].shape
+            K = shape[-1] if shape else 1
+            R = 1
+            for d in shape[:-1]:
+                R *= d
+            per_site.append((name, R, K) + cm.block_functions((name,), False))
 
         def init(key, state):
             dt = jnp.asarray(state[self.params[0]]).dtype
             return SliceSimplexTune(scale=jnp.asarray(self.scale, dt))
 
         def step(key, state, tune, adapt):
-            for name, pack, unpack, spec, logf in per_site:
-                key, sub = jax.random.split(key)
-                x = pack(state)
-                x2, _ = slicesimplex_step(sub, x, tune,
-                                          lambda v: logf(v, state))
-                state = {**state, **unpack(x2, state)}
+            for name, R, K, pack, unpack, spec, logf in per_site:
+                x = pack(state).reshape(R, K)
+                if R == 1:
+                    key, sub = jax.random.split(key)
+                    row, _ = slicesimplex_step(
+                        sub, x[0], tune,
+                        lambda v: logf(v.reshape(-1), state))
+                    x = row.reshape(R, K)
+                else:
+                    # sequential Gibbs over row-simplexes as a lax.scan:
+                    # the shrinking-simplex while_loop traces once, not R
+                    # times (compile-time, not runtime, win)
+                    def row_pass(carry, r, logf=logf):
+                        key, x = carry
+                        key, sub = jax.random.split(key)
+                        row = jax.lax.dynamic_index_in_dim(x, r, 0, False)
+                        new, _ = slicesimplex_step(
+                            sub, row, tune,
+                            lambda v: logf(
+                                jax.lax.dynamic_update_index_in_dim(
+                                    x, v, r, 0).reshape(-1), state))
+                        return (key, jax.lax.dynamic_update_index_in_dim(
+                            x, new, r, 0)), None
+
+                    (key, x), _ = jax.lax.scan(
+                        row_pass, (key, x), jnp.arange(R))
+                state = {**state, **unpack(x.reshape(-1), state)}
             return state, tune
 
         return BlockKernel(init, step)

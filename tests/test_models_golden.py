@@ -199,6 +199,76 @@ def test_oxford_golden():
 
 
 @pytest.mark.slow
+def test_dogs_golden():
+    """Improper Truncated(Flat) priors (dogs.jl:52-70)."""
+    from mamba_tpu.models import dogs
+    model, inputs, inits = dogs.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["alpha"]["Mean"] + 0.2442) < 0.02
+    assert abs(s["beta"]["Mean"] + 0.0789) < 0.01
+    assert abs(s["A"]["Mean"] - 0.7836) < 0.015
+    assert abs(s["B"]["Mean"] - 0.9242) < 0.01
+
+
+@pytest.mark.slow
+def test_mice_golden():
+    """Censored Weibull survival with MISS imputation (mice.jl:20-36)."""
+    from mamba_tpu.models import mice
+    model, inputs, inits = mice.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["r"]["Mean"] - 3.27) < 0.45
+    assert abs(s["median[1]"]["Mean"] - 22.8) < 1.5
+    assert abs(s["median[2]"]["Mean"] - 26.5) < 1.8
+    # r mixes slowly under the reference's Slice(0.25) scheme; at this
+    # shortened run length its PSRF can sit near 1.7
+    assert np.all(mt.gelmandiag(sim).value[:, 0, 0] < 2.0)
+
+
+@pytest.mark.slow
+def test_bones_golden():
+    """Ragged graded-response Categorical + MISS imputation (bones.jl)."""
+    from mamba_tpu.models import bones
+    model, inputs, inits = bones.build()
+    sim = mt.mcmc(model, inputs, inits, 5000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["theta[1]"]["Mean"] - 0.3260) < 0.15
+    assert abs(s["theta[5]"]["Mean"] - 5.5443) < 0.5
+    assert abs(s["theta[13]"]["Mean"] - 16.9303) < 0.8
+
+
+@pytest.mark.slow
+def test_asthma_golden():
+    """Batched row-simplex SliceSimplex over (3, 5) Dirichlet node."""
+    from mamba_tpu.models import asthma
+    model, inputs, inits = asthma.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=3,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["q[1,1]"]["Mean"] - 0.7616) < 0.04
+    assert abs(s["q[2,2]"]["Mean"] - 0.8544) < 0.02
+    assert abs(s["q[3,1]"]["Mean"] - 0.2937) < 0.12
+    comb = sim[:, ["q"], :].combine()
+    assert np.all((comb >= 0) & (comb <= 1))
+
+
+@pytest.mark.slow
+def test_lsat_golden():
+    from mamba_tpu.models import lsat
+    model, inputs, inits = lsat.build()
+    sim = mt.mcmc(model, inputs, inits, 3000, burnin=1500, thin=1, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta"]["Mean"] - 0.8040) < 0.08
+    assert abs(s["a[1]"]["Mean"] + 1.2624) < 0.08
+    assert abs(s["a[3]"]["Mean"] - 1.2421) < 0.08
+
+
+@pytest.mark.slow
 def test_magnesium_golden_mixed_node():
     """Mixed per-element prior families in one node (magnesium.jl:74-84)."""
     from mamba_tpu.models import magnesium

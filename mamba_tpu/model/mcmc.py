@@ -73,6 +73,85 @@ def _chain_inits(cm: CompiledModel, inits, chains: int):
     return stacked
 
 
+def _chunk_sizes(total: int, max_chunk: int) -> list:
+    """Split ``total`` into near-equal chunks of at most ``max_chunk``.
+    At most two distinct sizes come back, so at most two XLA programs
+    compile per phase."""
+    if total <= 0:
+        return []
+    n = -(-total // max_chunk)
+    base = total // n
+    rem = total - base * n
+    return [base + 1] * rem + [base] * (n - rem)
+
+
+def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
+                 *, progress=False, launch_iters=2000):
+    """Execute the warmup + sampling scans as a sequence of bounded device
+    launches.
+
+    One unbounded scan over all iterations is a single enormous XLA kernel;
+    on tunneled/remote TPU runtimes long launches can exceed the transport's
+    execution window (UNAVAILABLE device errors), and they also preclude any
+    progress reporting.  Chunking costs one host sync per ~launch_iters raw
+    Gibbs iterations — negligible — and reuses at most two compiled programs
+    per phase (the reference instead loops per-iteration on the host,
+    src/model/mcmc.jl:62-83)."""
+    jitted = {}
+
+    def warm_fn(length):
+        if ("w", length) not in jitted:
+            def warm_only(key, state, tunes):
+                def warm(c, _):
+                    key, state, tunes = c
+                    return gibbs_iter(key, state, tunes,
+                                      jnp.asarray(True)), None
+                return jax.lax.scan(warm, (key, state, tunes),
+                                    length=length)[0]
+            jitted[("w", length)] = jax.jit(jax.vmap(warm_only))
+        return jitted[("w", length)]
+
+    def kept_fn(rows_n):
+        if ("k", rows_n) not in jitted:
+            def kept_chunk(key, state, tunes):
+                def kept(c, _):
+                    def inner(c2, _):
+                        key, state, tunes = c2
+                        return gibbs_iter(key, state, tunes,
+                                          jnp.asarray(False)), None
+                    c, _ = jax.lax.scan(inner, c, length=thin)
+                    return c, pack_monitored(c[1])
+                (key, state, tunes), rows = jax.lax.scan(
+                    kept, (key, state, tunes), length=rows_n)
+                return key, state, tunes, rows
+            jitted[("k", rows_n)] = jax.jit(jax.vmap(kept_chunk))
+        return jitted[("k", rows_n)]
+
+    for cw in _chunk_sizes(burnin, launch_iters):
+        carry = warm_fn(cw)(*carry)
+    if burnin:
+        carry = jax.block_until_ready(carry)
+        if progress:
+            print(f"MCMC burnin done ({burnin} iterations)", flush=True)
+
+    pieces = []
+    done = 0
+    tloop = time.time()
+    for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
+        key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
+        carry = (key_f, state_f, tunes_f)
+        pieces.append(np.asarray(jax.block_until_ready(r)))
+        done += ck
+        if progress:
+            rate = done / max(time.time() - tloop, 1e-9)
+            eta = (n_kept - done) / max(rate, 1e-9)
+            print(f"  {100 * done // n_kept:3d}% kept "
+                  f"[{done}/{n_kept} rows, ETA {eta:,.0f}s]", flush=True)
+    rows = (np.concatenate(pieces, axis=1) if pieces
+            else np.zeros((carry[0].shape[0], 0, 0)))
+    return carry, rows
+
+
 def _build_kernels(cm: CompiledModel):
     specs = cm.model.samplers
     if not specs:
@@ -83,7 +162,8 @@ def _build_kernels(cm: CompiledModel):
 def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
          burnin: int = 0, thin: int = 1, chains: int = 1, seed: int = 123,
          verbose: bool = True, progress: bool = False, dtype=None, mesh=None,
-         chain_axis: str = "chains", site_specs=None) -> ModelChains:
+         chain_axis: str = "chains", site_specs=None,
+         launch_iters: int = 2000) -> ModelChains:
     """``mcmc(model, inputs, inits, iters; burnin, thin, chains)`` — run —
     or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16).
 
@@ -123,38 +203,6 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
 
     n_kept = (iters - burnin) // thin
 
-    def run_chain(key, state, tunes):
-        # burnin phase: adapt=True, nothing stored
-        def warm(carry, _):
-            key, state, tunes = carry
-            return gibbs_iter(key, state, tunes, jnp.asarray(True)), None
-
-        (key, state, tunes), _ = jax.lax.scan(
-            warm, (key, state, tunes), length=burnin)
-
-        # sampling phase: thin inner steps per kept row
-        def kept(carry, _):
-            def inner(c, _):
-                key, state, tunes = c
-                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
-            carry, _ = jax.lax.scan(inner, carry, length=thin)
-            return carry, pack_monitored(carry[1])
-
-        (key, state, tunes), rows = jax.lax.scan(
-            kept, (key, state, tunes), length=n_kept)
-        return key, state, tunes, rows
-
-    def run_chain_tail(key, state, tunes, n_rows):
-        def kept(carry, _):
-            def inner(c, _):
-                key, state, tunes = c
-                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
-            carry, _ = jax.lax.scan(inner, carry, length=thin)
-            return carry, pack_monitored(carry[1])
-        (key, state, tunes), rows = jax.lax.scan(
-            kept, (key, state, tunes), length=n_rows)
-        return key, state, tunes, rows
-
     t0 = time.time()
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
@@ -164,60 +212,10 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
-    if not progress:
-        key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
-            keys, state0, tunes0)
-        rows = jax.block_until_ready(rows)
-    else:
-        # chunked execution with a reference-style ETA meter
-        # (src/progress.jl:40-59): one jitted chunk function reused across
-        # ~10 equal chunks; prints happen at host sync points only.
-        def warm_only(key, state, tunes):
-            def warm(carry, _):
-                key, state, tunes = carry
-                return gibbs_iter(key, state, tunes, jnp.asarray(True)), None
-            return jax.lax.scan(warm, (key, state, tunes), length=burnin)[0]
-
-        chunk = max(1, n_kept // 10)
-
-        def kept_chunk(key, state, tunes):
-            def kept(carry, _):
-                def inner(c, _):
-                    key, state, tunes = c
-                    return gibbs_iter(key, state, tunes,
-                                      jnp.asarray(False)), None
-                carry, _ = jax.lax.scan(inner, carry, length=thin)
-                return carry, pack_monitored(carry[1])
-            (key, state, tunes), rows = jax.lax.scan(
-                kept, (key, state, tunes), length=chunk)
-            return key, state, tunes, rows
-
-        warm_j = jax.jit(jax.vmap(warm_only))
-        chunk_j = jax.jit(jax.vmap(kept_chunk))
-        carry = jax.block_until_ready(warm_j(keys, state0, tunes0))
-        print(f"MCMC burnin done ({burnin} iterations)", flush=True)
-        pieces = []
-        done = 0
-        tloop = time.time()
-        while done < n_kept - (n_kept % chunk):
-            key_f, state_f, tunes_f, r = chunk_j(*carry)
-            carry = (key_f, state_f, tunes_f)
-            r = jax.block_until_ready(r)
-            pieces.append(np.asarray(r))
-            done += chunk
-            rate = done / max(time.time() - tloop, 1e-9)
-            eta = (n_kept - done) / max(rate, 1e-9)
-            print(f"  {100 * done // n_kept:3d}% kept "
-                  f"[{done}/{n_kept} rows, ETA {eta:,.0f}s]", flush=True)
-        rem = n_kept - done
-        if rem:
-            rem_j = jax.jit(jax.vmap(
-                lambda k, s, t: run_chain_tail(k, s, t, rem)))
-            key_f, state_f, tunes_f, r = rem_j(*carry)
-            carry = (key_f, state_f, tunes_f)
-            pieces.append(np.asarray(jax.block_until_ready(r)))
-        key_f, state_f, tunes_f = carry
-        rows = np.concatenate(pieces, axis=1)
+    carry, rows = _run_chunked(
+        gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,
+        thin, progress=progress, launch_iters=launch_iters)
+    key_f, state_f, tunes_f = carry
     elapsed = time.time() - t0
     if verbose:
         print(f"MCMC: {chains} chains x {iters} iterations "
@@ -255,21 +253,10 @@ def _mcmc_restart(mc: ModelChains, iters: int) -> ModelChains:
             new_tunes.append(t)
         return key, state, tuple(new_tunes)
 
-    def run_chain(key, state, tunes):
-        def kept(carry, _):
-            def inner(c, _):
-                key, state, tunes = c
-                return gibbs_iter(key, state, tunes, jnp.asarray(False)), None
-            carry, _ = jax.lax.scan(inner, carry, length=thin)
-            return carry, pack_monitored(carry[1])
-        (key, state, tunes), rows = jax.lax.scan(
-            kept, (key, state, tunes), length=n_kept)
-        return key, state, tunes, rows
-
     st = mc.states
-    key_f, state_f, tunes_f, rows = jax.jit(jax.vmap(run_chain))(
-        st["key"], st["state"], st["tunes"])
-    rows = jax.block_until_ready(rows)
+    (key_f, state_f, tunes_f), rows = _run_chunked(
+        gibbs_iter, pack_monitored, (st["key"], st["state"], st["tunes"]),
+        0, n_kept, thin)
     value = np.moveaxis(np.asarray(rows), 0, 2)
     new = ModelChains(
         value, start=mc.iter + thin, thin=thin, names=labels,

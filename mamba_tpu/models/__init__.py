@@ -6,9 +6,10 @@ reference's sampling scheme pre-assigned, so
 posterior tables (BASELINE.md)."""
 
 from . import (asthma, birats, blocker, bones, dogs, dyes, epil, equiv, eyes,
-               glmm, line, lsat, magnesium, mice, oxford, pumps, rats, salm,
-               seeds, stacks, surgical)
+               glmm, inhalers, jaws, leuk, line, lsat, magnesium, mice,
+               oxford, pumps, rats, salm, seeds, stacks, surgical)
 
 __all__ = ["asthma", "birats", "blocker", "bones", "dogs", "dyes", "epil",
-           "equiv", "eyes", "glmm", "line", "lsat", "magnesium", "mice",
-           "oxford", "pumps", "rats", "salm", "seeds", "stacks", "surgical"]
+           "equiv", "eyes", "glmm", "inhalers", "jaws", "leuk", "line",
+           "lsat", "magnesium", "mice", "oxford", "pumps", "rats", "salm",
+           "seeds", "stacks", "surgical"]

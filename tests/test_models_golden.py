@@ -269,6 +269,48 @@ def test_lsat_golden():
 
 
 @pytest.mark.slow
+def test_jaws_golden():
+    """BDiagNormal likelihood + InverseWishart AMWG in Cholesky-link space."""
+    from mamba_tpu.models import jaws
+    model, inputs, inits = jaws.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta1"]["Mean"] - 1.8743) < 0.1
+    assert abs(s["Sigma[1,1]"]["Mean"] - 6.7916) < 1.5
+    assert abs(s["Sigma[4,4]"]["Mean"] - 8.0594) < 1.8
+
+
+@pytest.mark.slow
+def test_leuk_golden():
+    """Cox counting-process model; masked-rate Poisson risk set."""
+    from mamba_tpu.models import leuk
+    model, inputs, inits = leuk.build()
+    sim = mt.mcmc(model, inputs, inits, 6000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta"]["Mean"] - 1.5521) < 0.25
+    assert abs(s["S_treat[1]"]["Mean"] - 0.9830) < 0.02
+    assert abs(s["S_treat[10]"]["Mean"] - 0.7718) < 0.06
+
+
+@pytest.mark.slow
+def test_inhalers_golden():
+    """Ordered-categorical with dependent improper cutpoint truncations."""
+    from mamba_tpu.models import inhalers
+    model, inputs, inits = inhalers.build()
+    sim = mt.mcmc(model, inputs, inits, 5000, burnin=1500, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta"]["Mean"] - 0.98) < 0.3
+    assert abs(s["kappa"]["Mean"] - 0.25) < 0.2
+    assert abs(s["pi_"]["Mean"] + 0.22) < 0.2
+    # cutpoints stay ordered draw by draw
+    comb = sim[:, ["a1", "a2", "a3"], :].combine()
+    assert np.all(comb[:, 0] <= comb[:, 1]) and np.all(comb[:, 1] <= comb[:, 2])
+
+
+@pytest.mark.slow
 def test_magnesium_golden_mixed_node():
     """Mixed per-element prior families in one node (magnesium.jl:74-84)."""
     from mamba_tpu.models import magnesium

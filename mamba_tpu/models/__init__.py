@@ -7,9 +7,9 @@ posterior tables (BASELINE.md)."""
 
 from . import (asthma, birats, blocker, bones, dogs, dyes, epil, equiv, eyes,
                glmm, inhalers, jaws, leuk, line, lsat, magnesium, mice,
-               oxford, pumps, rats, salm, seeds, stacks, surgical)
+               oxford, pollution, pumps, rats, salm, seeds, stacks, surgical)
 
 __all__ = ["asthma", "birats", "blocker", "bones", "dogs", "dyes", "epil",
            "equiv", "eyes", "glmm", "inhalers", "jaws", "leuk", "line",
-           "lsat", "magnesium", "mice", "oxford", "pumps", "rats", "salm",
-           "seeds", "stacks", "surgical"]
+           "lsat", "magnesium", "mice", "oxford", "pollution", "pumps",
+           "rats", "salm", "seeds", "stacks", "surgical"]

@@ -267,7 +267,16 @@ class CompiledModel:
                 dist = node.fn(*[env[d] for d in node.deps])
                 key, sub = jax.random.split(key)
                 val = jnp.asarray(dist.sample(sub), self.dtype)
-                val = jnp.broadcast_to(val, self.sites[name].shape) if self.sites else val
+                if self.sites:
+                    target = tuple(self.sites[name].shape)
+                    if val.shape != target:
+                        # distribution batch smaller than the node (parameter
+                        # recycling, e.g. iid Normal(0, s) over an array node):
+                        # draw the missing lead dims iid, never copy one draw
+                        lead = target[: len(target) - val.ndim]
+                        val = jnp.asarray(dist.sample(sub, lead), self.dtype)
+                        if val.shape != target:  # trailing broadcast recycling
+                            val = jnp.broadcast_to(val, target)
                 env[name] = out[name] = val
         return out
 

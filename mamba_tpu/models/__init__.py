@@ -6,10 +6,12 @@ reference's sampling scheme pre-assigned, so
 posterior tables (BASELINE.md)."""
 
 from . import (asthma, birats, blocker, bones, dogs, dyes, epil, equiv, eyes,
-               glmm, inhalers, jaws, leuk, line, lsat, magnesium, mice,
-               oxford, pollution, pumps, rats, salm, seeds, stacks, surgical)
+               gk, glmm, inhalers, jaws, kidney, leuk, line, line_abc, lsat,
+               magnesium, mice, oxford, pollution, pumps, rats, salm, seeds,
+               stacks, surgical)
 
 __all__ = ["asthma", "birats", "blocker", "bones", "dogs", "dyes", "epil",
-           "equiv", "eyes", "glmm", "inhalers", "jaws", "leuk", "line",
-           "lsat", "magnesium", "mice", "oxford", "pollution", "pumps",
-           "rats", "salm", "seeds", "stacks", "surgical"]
+           "equiv", "eyes", "gk", "glmm", "inhalers", "jaws", "kidney",
+           "leuk", "line", "line_abc", "lsat", "magnesium", "mice", "oxford",
+           "pollution", "pumps", "rats", "salm", "seeds", "stacks",
+           "surgical"]

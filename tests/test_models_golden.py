@@ -356,3 +356,45 @@ def test_pollution_binary_schemes_run(scheme):
     assert set(np.unique(comb)) <= {0.0, 1.0}
     # means finite; MCSE/ESS may be NaN for coordinates that never flip
     assert np.isfinite(mt.summarystats(sim).value[:, 0, :]).all()
+
+
+@pytest.mark.slow
+def test_line_abc_golden():
+    """Likelihood-free line fit: Normal + Epanechnikov ABC kernels, nsim=3."""
+    from mamba_tpu.models import line_abc
+    model, inputs, inits = line_abc.build()
+    sim = mt.mcmc(model, inputs, inits[:2], 2500, burnin=500, thin=1,
+                  chains=2, verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta[1]"]["Mean"] - 0.7235) < 0.4
+    assert abs(s["beta[2]"]["Mean"] - 0.7747) < 0.15
+    assert abs(s["s2"]["Mean"] - 1.3074) < 0.9
+
+
+@pytest.mark.slow
+def test_gk_golden():
+    """Quantile-only extension distribution fit by ABC (gk.jl)."""
+    from mamba_tpu.models import gk
+    model, inputs, inits = gk.build()
+    sim = mt.mcmc(model, inputs, inits[:2], 2000, burnin=700, thin=1,
+                  chains=2, verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["A"]["Mean"] - 3.0037) < 0.15
+    assert abs(s["B"]["Mean"] - 1.0576) < 0.35
+    assert abs(s["g"]["Mean"] - 2.0259) < 0.5
+    assert abs(s["k"]["Mean"] - 0.3511) < 0.25
+
+
+@pytest.mark.slow
+def test_kidney_runs_and_is_sane():
+    """Censored Weibull frailty; kidney.rst publishes no golden table, so
+    assert sign/stability features of the posterior instead."""
+    from mamba_tpu.models import kidney
+    model, inputs, inits = kidney.build()
+    sim = mt.mcmc(model, inputs, inits, 2000, burnin=800, thin=1, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert np.isfinite(mt.summarystats(sim).value[:, 0, :]).all()
+    assert s["beta_sex"]["Mean"] < 0       # female protective effect
+    assert 0.7 < s["r"]["Mean"] < 2.5      # Weibull shape near 1.2
+    assert s["s2"]["Mean"] > 0

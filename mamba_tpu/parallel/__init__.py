@@ -7,6 +7,8 @@ observation axes can additionally be sharded (the sequence-parallel analog)
 by giving observed sites a PartitionSpec, turning the likelihood reduction
 into a psum over the data axis."""
 
-from .mesh import chain_sharding, make_mesh, shard_chain_tree
+from .mesh import (chain_sharding, distributed_init, global_mesh,
+                   make_mesh, shard_chain_tree)
 
-__all__ = ["make_mesh", "chain_sharding", "shard_chain_tree"]
+__all__ = ["make_mesh", "chain_sharding", "shard_chain_tree",
+           "distributed_init", "global_mesh"]

@@ -63,3 +63,29 @@ def shard_chain_tree(tree, mesh: Mesh, nchains: int,
         return jax.device_put(x, chain_sharding(mesh, chain_axis, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: one controller process per host over ICI/DCN
+    (TPU-native stand-in for the reference's user-launched Julia workers,
+    ``julia -p N`` + pmap, src/utils.jl:91-98).  Arguments default to the
+    TPU pod-slice environment (auto-detected by jax.distributed); call once
+    before building a mesh spanning hosts.  No-op if already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh(axes: dict[str, int] | None = None) -> Mesh:
+    """Mesh over all devices of all participating processes (call after
+    ``distributed_init`` on every host)."""
+    devices = jax.devices()
+    if axes is None:
+        axes = {"chains": len(devices)}
+    return make_mesh(axes, devices)

@@ -1,0 +1,45 @@
+"""Observability utilities (SURVEY.md §5: rebuild adds a profiler where the
+reference had none) and multi-host mesh helpers."""
+
+import jax
+import jax.numpy as jnp
+
+from mamba_tpu.parallel import global_mesh, make_mesh
+from mamba_tpu.utils import profiling
+
+
+def test_block_timer_and_time_compiled():
+    f = jax.jit(lambda x: (x * x).sum())
+    x = jnp.ones(128)
+    sink = []
+    with profiling.block_timer("k", sink):
+        f(x)
+    assert sink and sink[0][0] == "k" and sink[0][1] > 0
+    mean_s, min_s = profiling.time_compiled(f, x, iters=3, warmup=1)
+    assert 0 < min_s <= mean_s
+
+
+def test_trace_produces_artifacts(tmp_path):
+    f = jax.jit(lambda x: jnp.tanh(x).sum())
+    with profiling.trace(str(tmp_path)) as logdir:
+        jax.block_until_ready(f(jnp.ones(64)))
+    assert any(tmp_path.rglob("*")), f"no trace artifacts in {logdir}"
+
+
+def test_annotate_context():
+    with profiling.annotate("span"):
+        jax.block_until_ready(jnp.zeros(4) + 1)
+
+
+def test_global_mesh_covers_all_devices():
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = global_mesh({"chains": 4, "data": 2})
+    assert mesh2.axis_names == ("chains", "data")
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_make_mesh_rejects_bad_shape():
+    import pytest
+    with pytest.raises(ValueError):
+        make_mesh({"chains": 3})  # 8 virtual devices, not divisible

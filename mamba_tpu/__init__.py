@@ -43,8 +43,8 @@ from .model.model import Model
 from .model.compile import CompiledModel, compile_model
 from .model.mcmc import mcmc
 from . import samplers
-from .samplers import (ABC, AMM, AMWG, BHMC, BIA, BMC3, BMG, DGS, Gibbs, HMC,
-                       MALA, MISS, NUTS, RWM, Slice, SliceSimplex)
+from .samplers import (ABC, AMM, AMWG, BHMC, BIA, BMC3, BMG, ChEESHMC, DGS,
+                       Gibbs, HMC, MALA, MISS, NUTS, RWM, Slice, SliceSimplex)
 from . import models
 from . import infer
 from .utils.math import cummean, invlogit, logit

@@ -73,6 +73,12 @@ def _chain_inits(cm: CompiledModel, inits, chains: int):
     return stacked
 
 
+#: vmap axis name bound over the chain dimension in the engine's compiled
+#: scans: cross-chain-adaptive kernels (e.g. ChEES-HMC) use
+#: ``lax.pmean(..., CHAIN_AXIS)`` to share statistics across chains.
+CHAIN_AXIS = "chains"
+
+
 def _chunk_sizes(total: int, max_chunk: int) -> list:
     """Split ``total`` into near-equal chunks of at most ``max_chunk``.
     At most two distinct sizes come back, so at most two XLA programs
@@ -108,7 +114,8 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
                                       jnp.asarray(True)), None
                 return jax.lax.scan(warm, (key, state, tunes),
                                     length=length)[0]
-            jitted[("w", length)] = jax.jit(jax.vmap(warm_only))
+            jitted[("w", length)] = jax.jit(
+                jax.vmap(warm_only, axis_name=CHAIN_AXIS))
         return jitted[("w", length)]
 
     def kept_fn(rows_n):
@@ -124,7 +131,8 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
                 (key, state, tunes), rows = jax.lax.scan(
                     kept, (key, state, tunes), length=rows_n)
                 return key, state, tunes, rows
-            jitted[("k", rows_n)] = jax.jit(jax.vmap(kept_chunk))
+            jitted[("k", rows_n)] = jax.jit(
+                jax.vmap(kept_chunk, axis_name=CHAIN_AXIS))
         return jitted[("k", rows_n)]
 
     for cw in _chunk_sizes(burnin, launch_iters):
@@ -208,7 +216,7 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
         from ..parallel.mesh import shard_chain_tree
         state0 = shard_chain_tree(state0, mesh, chains, chain_axis, site_specs)
         keys = shard_chain_tree(keys, mesh, chains, chain_axis)
-    tunes0 = jax.jit(jax.vmap(init_tunes))(keys, state0)
+    tunes0 = jax.jit(jax.vmap(init_tunes, axis_name=CHAIN_AXIS))(keys, state0)
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)

@@ -11,6 +11,7 @@ from .dgs import DGS, DGSTune, dgs_step, discrete_step
 from .miss import MISS
 from .slicesimplex import SliceSimplex, slicesimplex_step
 from .amm import AMM, amm_init, amm_step
+from .chees import ChEESHMC, ChEESTune, chees_init, chees_step
 from .amwg import AMWG, amwg_init, amwg_step
 from .hmc import HMC, hmc_init, hmc_step
 from .mala import MALA, mala_init, mala_step
@@ -20,6 +21,7 @@ from .slice import (Slice, slice_init, slice_multivariate_step,
                     slice_univariate_step)
 
 __all__ = [
+    "ChEESHMC", "ChEESTune", "chees_init", "chees_step",
     "BlockKernel", "SamplerSpec", "metropolis_accept",
     "ABC", "ABCTune", "Gibbs",
     "BHMC", "BIA", "BMC3", "BMG", "bhmc_init", "bhmc_step", "bia_init",

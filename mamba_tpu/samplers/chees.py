@@ -1,0 +1,206 @@
+"""ChEES-HMC: cross-chain adaptive trajectory-length HMC (Hoffman, Radul &
+Sountsov 2021, "An Adaptive MCMC Scheme for Setting Trajectory Lengths in
+Hamiltonian Monte Carlo").
+
+This sampler has no counterpart in the reference — it exists *because* of
+the TPU execution model.  Vmapped NUTS runs every chain's variable-depth
+trajectory in lockstep, so each Gibbs iteration costs the *maximum* tree
+depth over all chains.  ChEES-HMC instead runs plain fixed-length HMC whose
+trajectory length is shared by every chain and adapted from cross-chain
+statistics (the Change-in-Estimator-of-Expected-Square criterion), giving:
+
+- identical leapfrog counts across chains each iteration (perfect lockstep,
+  no masked work) — the per-iteration step count is a *traced* scalar, so
+  one compiled program serves every trajectory length;
+- jitter shared across chains via a halton(iteration) sequence, not
+  per-chain randomness (keeps the lockstep);
+- cross-chain adaptation through ``lax.pmean`` over the engine's vmap axis
+  (``model.mcmc.CHAIN_AXIS``) — on a sharded mesh this lowers to an
+  all-reduce over ICI.
+
+Adaptation (warmup only): step size by Nesterov dual averaging on the
+cross-chain mean accept probability; trajectory length by Adam ascent on
+the ChEES gradient estimate  E_accept[ (|x'-x̄|^2 - |x-x̄|^2) (x'-x̄)·p' ].
+
+Stand-alone use must bind the chain axis itself::
+
+    step = lambda key, x, tune: chees_step(key, x, tune, logfgrad, adapt)
+    jax.vmap(step, axis_name="chains")(keys, xs, tunes)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import SamplerSpec
+
+CHAIN_AXIS = "chains"  # must match model.mcmc.CHAIN_AXIS
+
+
+class ChEESTune(NamedTuple):
+    epsilon: jax.Array      # current step size
+    epsilonbar: jax.Array   # dual-averaged step size (used post-warmup)
+    Hbar: jax.Array
+    mu: jax.Array
+    m: jax.Array            # adaptation iteration counter (int32)
+    traj: jax.Array         # trajectory length T (time units)
+    adam_m: jax.Array       # Adam first moment for d log T
+    adam_v: jax.Array       # Adam second moment
+    target: jax.Array       # step-size accept target
+    max_steps: jax.Array    # safety cap on leapfrog steps per iteration
+
+
+def _halton2(m):
+    """base-2 Halton (van der Corput) value of integer m: bit reversal in
+    [0, 1).  Shared across chains because every chain holds the same m."""
+    m = m.astype(jnp.uint32)
+    bits = jnp.zeros((), jnp.float32)
+    scale = jnp.float32(0.5)
+    out = jnp.float32(0.0) + bits
+    for _ in range(16):
+        out = out + jnp.where((m & 1) == 1, scale, 0.0)
+        m = m >> 1
+        scale = scale * 0.5
+    return out
+
+
+def chees_init(key, x0, logfgrad, epsilon: float | None = None,
+               traj: float | None = None, target: float = 0.75,
+               max_steps: int = 1024) -> ChEESTune:
+    """Tune init; ``epsilon`` defaults to the NUTS doubling search,
+    ``traj`` to one initial step."""
+    from .nuts import nutsepsilon
+
+    x0 = jnp.asarray(x0)
+    dt = x0.dtype
+    if epsilon is None:
+        # per-chain doubling searches agree only in order of magnitude;
+        # share the geometric mean so every chain starts (and stays) on one
+        # common step size
+        epsilon = jnp.exp(_pmean(jnp.log(nutsepsilon(key, x0, logfgrad))))
+    eps = jnp.asarray(epsilon, dt)
+    t0 = jnp.asarray(traj, dt) if traj is not None else eps
+    z = jnp.asarray(0.0, dt)
+    return ChEESTune(
+        epsilon=eps, epsilonbar=eps, Hbar=z,
+        mu=jnp.log(10.0 * eps), m=jnp.asarray(0, jnp.int32),
+        traj=t0, adam_m=z, adam_v=z,
+        target=jnp.asarray(target, dt),
+        max_steps=jnp.asarray(max_steps, jnp.int32))
+
+
+def _pmean(x):
+    try:
+        return jax.lax.pmean(x, CHAIN_AXIS)
+    except NameError:
+        return x
+
+
+def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
+    """One ChEES-HMC iteration: jittered fixed-length leapfrog + MH, then
+    (when ``adapt``) cross-chain dual-averaging / Adam updates.  All chains
+    receive identical (traj, epsilon) updates, preserving lockstep."""
+    x = jnp.asarray(x)
+    dt = x.dtype
+    kp, ka = jax.random.split(key)
+
+    eps = jnp.where(adapt, tune.epsilon, tune.epsilonbar)
+    h = _halton2(tune.m).astype(dt)
+    # jittered trajectory: L = ceil(h * T / eps), in [1, max_steps]
+    L = jnp.clip(jnp.ceil(h * tune.traj / eps).astype(jnp.int32),
+                 1, tune.max_steps)
+
+    p0 = jax.random.normal(kp, x.shape, dt)
+    logf0, grad0 = logfgrad(x)
+
+    def body(c):
+        i, xi, pi, logfi, gradi = c
+        pi = pi + 0.5 * eps * gradi
+        xi = xi + eps * pi
+        logfi, gradi = logfgrad(xi)
+        pi = pi + 0.5 * eps * gradi
+        return i + 1, xi, pi, logfi, gradi
+
+    def cond(c):
+        return c[0] < L
+
+    _, x1, p1, logf1, grad1 = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), x, p0, logf0, grad0))
+
+    dH = (logf1 - 0.5 * jnp.dot(p1, p1)) - (logf0 - 0.5 * jnp.dot(p0, p0))
+    dH = jnp.where(jnp.isnan(dH), -jnp.inf, dH)
+    alpha = jnp.minimum(1.0, jnp.exp(dH))
+    u = jax.random.uniform(ka, (), dt)
+    accept = u < alpha
+    x2 = jnp.where(accept, x1, x)
+
+    # ---- cross-chain adaptation -------------------------------------
+    abar = _pmean(alpha)
+
+    # dual averaging (Hoffman-Gelman) on the cross-chain accept rate
+    mh = (tune.m + 1).astype(dt)
+    Hbar = (1.0 - 1.0 / (mh + 10.0)) * tune.Hbar \
+        + (tune.target - abar) / (mh + 10.0)
+    log_eps = tune.mu - jnp.sqrt(mh) / 0.05 * Hbar
+    w = mh ** -0.75
+    log_epsbar = w * log_eps + (1.0 - w) * jnp.log(tune.epsilonbar)
+
+    # ChEES gradient for the trajectory length (accept-weighted pmean)
+    xbar = _pmean(x)
+    d_prop = x1 - xbar
+    d_cur = x - xbar
+    dsq = jnp.dot(d_prop, d_prop) - jnp.dot(d_cur, d_cur)
+    g_chain = dsq * jnp.dot(d_prop, p1) * h       # d ChEES / d T proxy
+    g = _pmean(alpha * g_chain) / jnp.maximum(_pmean(alpha), 1e-6)
+    # normalize scale so Adam's step is dimensionless
+    g = g / jnp.maximum(_pmean(jnp.abs(g)), 1e-12)
+
+    b1, b2, lr = 0.9, 0.95, 0.025
+    adam_m = b1 * tune.adam_m + (1.0 - b1) * g
+    adam_v = b2 * tune.adam_v + (1.0 - b2) * g * g
+    mhat = adam_m / (1.0 - b1 ** mh)
+    vhat = adam_v / (1.0 - b2 ** mh)
+    log_traj = jnp.log(tune.traj) + lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    new_traj = jnp.clip(jnp.exp(log_traj), tune.epsilon,
+                        tune.epsilonbar * tune.max_steps.astype(dt))
+
+    new = ChEESTune(
+        epsilon=jnp.where(adapt, jnp.exp(log_eps), tune.epsilon),
+        epsilonbar=jnp.where(adapt, jnp.exp(log_epsbar), tune.epsilonbar),
+        Hbar=jnp.where(adapt, Hbar, tune.Hbar),
+        mu=tune.mu,
+        m=tune.m + jnp.where(adapt, 1, 0).astype(jnp.int32),
+        traj=jnp.where(adapt, new_traj, tune.traj),
+        adam_m=jnp.where(adapt, adam_m, tune.adam_m),
+        adam_v=jnp.where(adapt, adam_v, tune.adam_v),
+        target=tune.target, max_steps=tune.max_steps)
+    return x2, new
+
+
+class ChEESHMC(SamplerSpec):
+    """Engine block: ChEES-HMC over a parameter block (transformed space).
+
+    ``ChEESHMC("beta")`` or ``ChEESHMC(["beta", "s2"], target=0.8)``.
+    Drop-in replacement for NUTS blocks when running many chains: same
+    gradient-based exploration, but every vmapped chain does identical work
+    per iteration."""
+    transform = True
+    needs_grad = True
+
+    def __init__(self, params, epsilon=None, traj=None, target=0.75,
+                 max_steps=1024):
+        super().__init__(params)
+        self.epsilon = epsilon
+        self.traj = traj
+        self.target = target
+        self.max_steps = max_steps
+
+    def kernel_init(self, key, x0, logfgrad):
+        return chees_init(key, x0, logfgrad, self.epsilon, self.traj,
+                          self.target, self.max_steps)
+
+    def kernel_step(self, key, x, tune, logfgrad, adapt):
+        return chees_step(key, x, tune, logfgrad, adapt)

@@ -1,0 +1,85 @@
+"""ChEES-HMC: cross-chain adaptive trajectory-length HMC (TPU-first sampler,
+no reference counterpart — exists because vmapped NUTS pays max-tree-depth
+lockstep cost; see mamba_tpu/samplers/chees.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mamba_tpu as mt
+from mamba_tpu.samplers import chees_init, chees_step
+
+KEY = jax.random.PRNGKey(11)
+
+
+def _run_standalone(nchains=64, warm=400, keep=400):
+    # correlated 2-D Gaussian, rho = 0.9: trajectory adaptation matters here
+    cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logfgrad(x):
+        lp = -0.5 * x @ prec @ x
+        return lp, -prec @ x
+
+    k0, k1 = jax.random.split(KEY)
+    x0 = jax.random.normal(k0, (nchains, 2))
+    tunes = jax.vmap(lambda k, x: chees_init(k, x, logfgrad),
+                     axis_name="chains")(jax.random.split(k1, nchains), x0)
+
+    def sweep(carry, ks):
+        xs, tunes, adapt = carry
+        xs, tunes = jax.vmap(
+            lambda k, x, t: chees_step(k, x, t, logfgrad, adapt),
+            axis_name="chains")(ks, xs, tunes)
+        return (xs, tunes, adapt), xs
+
+    keys = jax.random.split(jax.random.PRNGKey(5), warm + keep)
+    warm_keys = jax.vmap(jax.random.split, in_axes=(0, None))(keys[:warm], nchains)
+    keep_keys = jax.vmap(jax.random.split, in_axes=(0, None))(keys[warm:], nchains)
+
+    @jax.jit
+    def run(x0, tunes):
+        (xs, tunes, _), _ = jax.lax.scan(sweep, (x0, tunes, jnp.asarray(True)),
+                                         warm_keys)
+        (xs, tunes, _), draws = jax.lax.scan(
+            sweep, (xs, tunes, jnp.asarray(False)), keep_keys)
+        return draws, tunes
+
+    return run(x0, tunes)
+
+
+def test_chees_standalone_posterior_and_tune():
+    draws, tunes = _run_standalone()
+    flat = np.asarray(draws).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), [0.0, 0.0], atol=0.06)
+    np.testing.assert_allclose(np.cov(flat.T), [[1.0, 0.9], [0.9, 1.0]],
+                               atol=0.12)
+    # shared adaptation: every chain holds identical epsilon / trajectory
+    eps = np.asarray(tunes.epsilonbar)
+    traj = np.asarray(tunes.traj)
+    assert np.allclose(eps, eps[0]) and np.allclose(traj, traj[0])
+    # trajectory adapted beyond a single step
+    assert traj[0] > 1.5 * np.asarray(tunes.epsilon)[0]
+
+
+def test_chees_in_engine_line_model():
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda mu, s2: mt.Normal(mu, jnp.sqrt(s2)),
+                        monitor=False),
+        mu=mt.Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
+        beta=mt.Stochastic(1, lambda: mt.Normal(jnp.zeros(2), jnp.sqrt(1000.0))),
+        s2=mt.Stochastic(lambda: mt.InverseGamma(0.001, 0.001)),
+    )
+    model.set_samplers([mt.ChEESHMC("beta"), mt.Slice("s2", 2.0)])
+    X = jnp.stack([jnp.ones(5), jnp.arange(1.0, 6.0)], 1)
+    inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
+             "beta": jnp.zeros(2), "s2": 1.0}
+    sim = mt.mcmc(model, {"xmat": X}, [inits], 4000, burnin=1500, chains=8,
+                  verbose=False)
+    arr = np.asarray(sim.value)
+    names = list(sim.names)
+    b1 = arr[:, names.index("beta[1]"), :].mean()
+    b2 = arr[:, names.index("beta[2]"), :].mean()
+    assert abs(b1 - 0.6) < 0.45, b1
+    assert abs(b2 - 0.8) < 0.15, b2
+    assert np.all(arr[:, names.index("s2"), :] > 0)

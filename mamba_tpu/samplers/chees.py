@@ -154,6 +154,9 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     d_cur = x - xbar
     dsq = jnp.dot(d_prop, d_prop) - jnp.dot(d_cur, d_cur)
     g_chain = dsq * jnp.dot(d_prop, p1) * h       # d ChEES / d T proxy
+    # divergent trajectories yield non-finite proposals; they carry zero
+    # accept probability but 0 * nan would still poison the pmean — mask.
+    g_chain = jnp.where(jnp.isfinite(g_chain), g_chain, 0.0)
     g = _pmean(alpha * g_chain) / jnp.maximum(_pmean(alpha), 1e-6)
     # normalize scale so Adam's step is dimensionless
     g = g / jnp.maximum(_pmean(jnp.abs(g)), 1e-12)
@@ -166,6 +169,7 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     log_traj = jnp.log(tune.traj) + lr * mhat / (jnp.sqrt(vhat) + 1e-8)
     new_traj = jnp.clip(jnp.exp(log_traj), tune.epsilon,
                         tune.epsilonbar * tune.max_steps.astype(dt))
+    new_traj = jnp.where(jnp.isfinite(new_traj), new_traj, tune.traj)
 
     new = ChEESTune(
         epsilon=jnp.where(adapt, jnp.exp(log_eps), tune.epsilon),

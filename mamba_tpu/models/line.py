@@ -13,17 +13,23 @@ import numpy as np
 from ..model.model import Model
 from ..model.nodes import Logical, Stochastic
 from ..ops.distributions import InverseGamma, Normal
-from ..samplers import NUTS, Slice
+from ..samplers import AMWG, NUTS, Slice
 
 
-def build(chains: int = 3, seed: int = 42):
+def build(chains: int = 3, seed: int = 42, scheme: str = "nuts"):
+    """``scheme``: "nuts" (tutorial sampling scheme, doc/tutorial/line.jl)
+    or "amwg_slice" (doc/examples/line_amwg_slice.jl: adaptive
+    Metropolis-within-Gibbs on beta + slice on s2)."""
     model = Model(
         y=Stochastic(1, lambda mu, s2: Normal(mu, jnp.sqrt(s2)), monitor=False),
         mu=Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
         beta=Stochastic(1, lambda: Normal(jnp.zeros(2), jnp.sqrt(1000.0))),
         s2=Stochastic(lambda: InverseGamma(0.001, 0.001)),
     )
-    model.set_samplers([NUTS("beta"), Slice("s2", 3.0)])
+    if scheme == "amwg_slice":
+        model.set_samplers([AMWG("beta", jnp.ones(2)), Slice("s2", 3.0)])
+    else:
+        model.set_samplers([NUTS("beta"), Slice("s2", 3.0)])
 
     x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
     y = jnp.array([1.0, 3.0, 3.0, 3.0, 5.0])

@@ -398,3 +398,15 @@ def test_kidney_runs_and_is_sane():
     assert s["beta_sex"]["Mean"] < 0       # female protective effect
     assert 0.7 < s["r"]["Mean"] < 2.5      # Weibull shape near 1.2
     assert s["s2"]["Mean"] > 0
+
+
+def test_line_amwg_slice_golden():
+    """AMWG+Slice sampling scheme on the tutorial line model (reference
+    doc/examples/line_amwg_slice.jl): same posterior as the NUTS scheme."""
+    from mamba_tpu.models import line
+    model, inputs, inits = line.build(chains=2, scheme="amwg_slice")
+    sim = mt.mcmc(model, inputs, inits, 8000, burnin=2000, thin=2, chains=2,
+                  verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta[2]"]["Mean"] - line.GOLDEN["beta[2]"]["Mean"]) < 0.12
+    assert abs(s["s2"]["Mean"] - line.GOLDEN["s2"]["Mean"]) < 0.8

@@ -1,0 +1,66 @@
+"""Mesh-sharded engine runs: same compiled scan, chains partitioned over
+devices (SURVEY.md §2.7 — the TPU replacement for pmap2 process fan-out)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mamba_tpu as mt
+from mamba_tpu.parallel import make_mesh
+from jax.sharding import PartitionSpec as P
+
+
+def _line():
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda mu, s2: mt.Normal(mu, jnp.sqrt(s2)),
+                        monitor=False),
+        mu=mt.Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
+        beta=mt.Stochastic(1, lambda: mt.Normal(jnp.zeros(2), jnp.sqrt(1000.0))),
+        s2=mt.Stochastic(lambda: mt.InverseGamma(0.001, 0.001)),
+    )
+    model.set_samplers([mt.NUTS("beta"), mt.Slice("s2", 2.0)])
+    X = jnp.stack([jnp.ones(5), jnp.arange(1.0, 6.0)], 1)
+    inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
+             "beta": jnp.zeros(2), "s2": 1.0}
+    return model, {"xmat": X}, [inits]
+
+
+def test_mesh_sharded_chains_match_unsharded():
+    model, inputs, inits = _line()
+    kw = dict(iters=600, burnin=200, chains=8, seed=3, verbose=False)
+    plain = mt.mcmc(model, inputs, inits, **kw)
+    mesh = make_mesh({"chains": 8})
+    sharded = mt.mcmc(model, inputs, inits, mesh=mesh, **kw)
+    # sharding changes XLA fusion layouts, so trajectories diverge chaotically
+    # after a few iterations — statistical agreement is the invariant
+    a, b = np.asarray(plain.value), np.asarray(sharded.value)
+    np.testing.assert_allclose(a.mean((0, 2)), b.mean((0, 2)), rtol=0, atol=0.3)
+    np.testing.assert_allclose(a.std((0, 2)), b.std((0, 2)), rtol=0.5, atol=0.1)
+
+
+def test_mesh_2d_with_data_axis():
+    model, inputs, inits = _line()
+    # observation axis must divide the data mesh dim: use 6 points
+    inputs = {"xmat": jnp.stack([jnp.ones(6), jnp.arange(1.0, 7.0)], 1)}
+    inits = [{"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0, 5.6]),
+              "beta": jnp.zeros(2), "s2": 1.0}]
+    mesh = make_mesh({"chains": 4, "data": 2})
+    sim = mt.mcmc(model, inputs, inits, iters=400, burnin=100, chains=8,
+                  seed=3, verbose=False, mesh=mesh,
+                  site_specs={"y": P("data")})
+    arr = np.asarray(sim.value)
+    names = list(sim.names)
+    assert np.isfinite(arr).all()
+    b2 = arr[:, names.index("beta[2]"), :].mean()
+    assert abs(b2 - 0.8) < 0.25
+
+
+def test_chees_under_mesh():
+    # pmean cross-chain collectives lower through GSPMD on the mesh
+    model, inputs, inits = _line()
+    model.set_samplers([mt.ChEESHMC("beta"), mt.Slice("s2", 2.0)])
+    mesh = make_mesh({"chains": 8})
+    sim = mt.mcmc(model, inputs, inits, iters=800, burnin=400, chains=8,
+                  seed=3, verbose=False, mesh=mesh)
+    arr = np.asarray(sim.value)
+    assert np.isfinite(arr).all()

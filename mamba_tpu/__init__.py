@@ -53,8 +53,10 @@ from .infer import advi, smc
 from .maxpost import optim_over
 from . import output
 from .output import (Chains, ModelChains, ChainSummary, autocor, changerate,
-                     cor, describe, dic, gelmandiag, gewekediag, heideldiag,
+                     cor, describe, dic, ess_bulk, ess_rhat, ess_tail,
+                     gelmandiag, gewekediag, heideldiag,
                      hpd, logpdf_chains, mcse, predict, quantile, rafterydiag,
-                     plot, draw, read_chains, readcoda, summarystats, write_chains)
+                     rhat_rank, plot, draw, read_chains, readcoda,
+                     summarystats, write_chains)
 
 __version__ = "0.1.0"

@@ -6,7 +6,15 @@ mcse.jl — same estimators, same defaults, vectorized over parameters with
 numpy instead of the reference's per-column ``mapslices`` loops:
 
 - ``summarystats``: Mean, SD, Naive SE, MCSE (batch means by default) and
-  ESS = min((SD/MCSE)^2, niter)  (stats.jl:81-94)
+  ESS (stats.jl:81-94).  The reference computes ESS = min((SD/MCSE)^2,
+  niter) on the pooled chains — a formula built for <=4 chains whose
+  per-chain cap always binds at 100s-1000s of vmapped chains, silently
+  asserting every kept draw is effective.  Here ESS is the split-chain
+  rank-normalized bulk ESS of Vehtari, Gelman, Simpson, Carpenter &
+  Buerkner (2021), computed across the chain axis with Geyer's initial
+  monotone sequence truncation — honest at any chain count.
+- ``ess_rhat``: per-parameter bulk ESS, tail ESS and rank-normalized
+  split-R-hat (Vehtari et al. 2021) as a ChainSummary.
 - ``mcse``: batch-means ``bm`` (size 100), initial monotone ``imse`` and
   initial positive ``ipse`` sequence estimators (mcse.jl:3-46)
 - ``hpd``: smallest-interval empirical HPD (stats.jl:55-77)
@@ -109,8 +117,119 @@ def _mcse_ipse(x) -> float:
     return float(np.sqrt(value / n))
 
 
+# ---------------------------------------------------------------------------
+# Split-chain rank-normalized ESS / R-hat (Vehtari et al. 2021, "Rank-
+# normalization, folding, and localization: an improved R-hat for assessing
+# convergence of MCMC").  Replaces the reference's pooled (sd/mcse)^2-capped
+# ESS (stats.jl:81-94), which is only meaningful at <=4 chains.
+# ---------------------------------------------------------------------------
+
+def _split_chains(x: np.ndarray) -> np.ndarray:
+    """(n, p, m) -> (n//2, p, 2m): each chain split into halves (detects
+    within-chain trend as apparent between-chain variance)."""
+    n = x.shape[0] - (x.shape[0] % 2)
+    half = n // 2
+    return np.concatenate([x[:half], x[half:n]], axis=2)
+
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional ranks over all draws of each parameter mapped through the
+    normal quantile function (Vehtari et al. 2021, eq. 14): z =
+    Phi^-1((r - 3/8) / (S + 1/4))."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+    n, p, m = x.shape
+    flat = x.transpose(1, 0, 2).reshape(p, n * m)
+    r = rankdata(flat, method="average", axis=1)
+    z = ndtri((r - 0.375) / (n * m + 0.25))
+    return z.reshape(p, n, m).transpose(1, 0, 2)
+
+def _chain_autocov_fft(x: np.ndarray) -> np.ndarray:
+    """Biased (1/n) per-chain autocovariances at all lags via FFT.
+    x: (n, p, m) -> (n, p, m)."""
+    n = x.shape[0]
+    xc = x - x.mean(0)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(xc, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n]
+    return acov.real / n
+
+def _ess_rhat_core(x: np.ndarray):
+    """ESS and split-R-hat of (already rank-normalized, already split)
+    chains x: (n, p, m).  Returns (ess, rhat) arrays of shape (p,)."""
+    n, p, m = x.shape
+    if n < 4 or m < 2:
+        return np.full(p, np.nan), np.full(p, np.nan)
+    chain_mean = x.mean(0)                       # (p, m)
+    chain_var = x.var(0, ddof=1)                 # (p, m)
+    W = chain_var.mean(1)                        # (p,)
+    B_over_n = chain_mean.var(1, ddof=1)         # (p,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var_plus = W * (n - 1) / n + B_over_n
+        rhat = np.sqrt(var_plus / W)
+        acov = _chain_autocov_fft(x).mean(2)     # (n, p) mean over chains
+        rho = 1.0 - (W[None, :] - acov) / var_plus[None, :]
+    rho[0] = 1.0
+    # Geyer (1992) initial monotone positive sequence on paired sums
+    kmax = n // 2
+    pairs = rho[0:2 * kmax:2] + rho[1:2 * kmax:2]          # (kmax, p)
+    pos = np.cumprod(pairs > 0, axis=0).astype(bool)        # truncate at <=0
+    pairs = np.where(pos, pairs, 0.0)
+    pairs = np.minimum.accumulate(pairs, axis=0)            # monotone decay
+    pairs = np.maximum(pairs, 0.0)
+    tau = -1.0 + 2.0 * pairs.sum(0)
+    nm = n * m
+    # antithetic-chain guard (ESS can't exceed nm * log10(nm); arviz rule)
+    tau = np.maximum(tau, 1.0 / np.log10(max(nm, 10)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ess = np.where(np.isfinite(var_plus) & (var_plus > 0),
+                       nm / tau, np.nan)
+        rhat = np.where(W > 0, rhat, np.nan)
+    return ess, rhat
+
+def ess_bulk(value: np.ndarray) -> np.ndarray:
+    """Split-chain rank-normalized bulk ESS per parameter.
+    value: (n_draws, n_params, n_chains) -> (n_params,)."""
+    x = _split_chains(np.asarray(value, dtype=float))
+    return _ess_rhat_core(_rank_normalize(x))[0]
+
+def ess_tail(value: np.ndarray, prob: float = 0.05) -> np.ndarray:
+    """Tail ESS: min over the ESS of the 5%/95% quantile indicator chains
+    (Vehtari et al. 2021 sec. 4.3)."""
+    x = _split_chains(np.asarray(value, dtype=float))
+    n, p, m = x.shape
+    out = np.full((2, p), np.nan)
+    for i, q in enumerate((prob, 1.0 - prob)):
+        qv = np.quantile(x.transpose(1, 0, 2).reshape(p, -1), q, axis=1)
+        ind = (x <= qv[None, :, None]).astype(float)
+        out[i] = _ess_rhat_core(_rank_normalize(ind))[0]
+    return out.min(0)
+
+def rhat_rank(value: np.ndarray) -> np.ndarray:
+    """Rank-normalized split-R-hat: max of the bulk R-hat and the folded
+    (tail-sensitive) R-hat (Vehtari et al. 2021 eq. 13-15)."""
+    x = _split_chains(np.asarray(value, dtype=float))
+    r_bulk = _ess_rhat_core(_rank_normalize(x))[1]
+    p = x.shape[1]
+    med = np.median(x.transpose(1, 0, 2).reshape(p, -1), axis=1)
+    folded = np.abs(x - med[None, :, None])
+    r_tail = _ess_rhat_core(_rank_normalize(folded))[1]
+    return np.fmax(r_bulk, r_tail)
+
+def ess_rhat(c: Chains) -> ChainSummary:
+    """Per-parameter bulk ESS, tail ESS and rank-normalized split-R-hat
+    (Vehtari et al. 2021) computed across the chain axis."""
+    v = np.asarray(c.value, dtype=float)
+    vals = np.column_stack([ess_bulk(v), ess_tail(v), rhat_rank(v)])
+    return ChainSummary(vals, c.names, ["ESS bulk", "ESS tail", "R-hat"],
+                        _header(c))
+
 def summarystats(c: Chains, etype: str = "bm", **kwargs) -> ChainSummary:
-    """Empirical posterior estimates table (reference stats.jl:81-94)."""
+    """Empirical posterior estimates table (reference stats.jl:81-94).
+
+    Mean/SD/Naive SE/MCSE follow the reference estimators on the pooled
+    chains; ESS is the split-chain rank-normalized bulk ESS across the
+    chain axis (see module docstring for why the reference's capped pooled
+    formula is replaced)."""
     comb = c.combine()          # (niter*nchains, p)
     n = comb.shape[0]
     mean = comb.mean(0)
@@ -118,8 +237,7 @@ def summarystats(c: Chains, etype: str = "bm", **kwargs) -> ChainSummary:
     naive = sd / np.sqrt(n)
     mc = np.array([mcse(comb[:, j], etype, **kwargs)
                    for j in range(comb.shape[1])])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ess = np.minimum((sd / mc) ** 2, c.niter)
+    ess = ess_bulk(np.asarray(c.value, dtype=float))
     vals = np.column_stack([mean, sd, naive, mc, ess])
     return ChainSummary(vals, c.names,
                         ["Mean", "SD", "Naive SE", "MCSE", "ESS"], _header(c))

@@ -204,3 +204,75 @@ def test_readcoda(tmp_path):
     assert c.value.shape == (100, 2, 1)
     np.testing.assert_allclose(c.value[:, 0, 0], a, atol=1e-6)
     np.testing.assert_allclose(c.value[:, 1, 0], b, atol=1e-6)
+
+
+# -- split-chain rank-normalized ESS / R-hat (Vehtari et al. 2021) -----------
+
+def ar1_chains(rho, n=20000, m=4, p=1, seed=1):
+    """AR(1) with unit innovations: true ESS/N = (1-rho)/(1+rho)."""
+    rng = np.random.default_rng(seed)
+    eps = rng.normal(0, 1, (n, p, m))
+    x = np.empty_like(eps)
+    x[0] = eps[0] / np.sqrt(1 - rho ** 2)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    return x
+
+
+def test_ess_bulk_ar1_known_value():
+    from mamba_tpu.output import ess_bulk
+    for rho in (0.5, 0.9):
+        v = ar1_chains(rho)
+        n_total = v.shape[0] * v.shape[2]
+        got = ess_bulk(v)[0]
+        want = n_total * (1 - rho) / (1 + rho)
+        assert abs(got - want) / want < 0.15, (rho, got, want)
+
+
+def test_ess_bulk_iid_near_total():
+    from mamba_tpu.output import ess_bulk
+    c = iid_chains(n=4000, p=3, m=8)
+    ess = ess_bulk(np.asarray(c.value))
+    n_total = 4000 * 8
+    assert np.all(ess > 0.8 * n_total)
+    # honest estimator: no silent cap at per-chain length
+    assert np.all(ess > 4000)
+
+
+def test_ess_not_capped_at_per_chain_rows():
+    """Regression for the round-1 bench bug: with many chains the pooled
+    (sd/mcse)^2 ESS capped at per-chain kept rows, making ESS/s vacuous."""
+    from mamba_tpu.output import summarystats
+    c = iid_chains(n=500, p=2, m=64)
+    s = summarystats(c).to_dict()
+    for k in ("x0", "x1"):
+        assert s[k]["ESS"] > 500 * 4  # far beyond the old per-chain cap
+
+
+def test_rhat_rank_detects_shift_and_trend():
+    from mamba_tpu.output import rhat_rank
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, (2000, 1, 4))
+    assert rhat_rank(v)[0] < 1.01
+    v_shift = v.copy()
+    v_shift[:, 0, 0] += 3.0          # one stuck chain
+    assert rhat_rank(v_shift)[0] > 1.2
+    v_trend = v + np.linspace(0, 3, 2000)[:, None, None]  # within-chain trend
+    assert rhat_rank(v_trend)[0] > 1.2
+
+
+def test_ess_tail_and_table(line_sim):
+    from mamba_tpu.output import ess_rhat, ess_tail
+    t = ess_rhat(line_sim)
+    assert t.value.shape[1] == 3
+    assert np.all(t.value[:, 2] < 1.1)          # converged line model
+    assert np.all(t.value[:, 0] > 100)          # bulk ESS
+    et = ess_tail(np.asarray(line_sim.value))
+    assert np.all(et > 50)
+
+
+def test_ess_constant_param_nan():
+    from mamba_tpu.output import ess_bulk, rhat_rank
+    v = np.ones((1000, 1, 4))
+    assert np.isnan(ess_bulk(v)[0])
+    assert np.isnan(rhat_rank(v)[0])

@@ -92,7 +92,7 @@ def _chunk_sizes(total: int, max_chunk: int) -> list:
 
 
 def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
-                 *, progress=False, launch_iters=2000):
+                 *, meter=None, launch_iters=2000):
     """Execute the warmup + sampling scans as a sequence of bounded device
     launches.
 
@@ -102,7 +102,8 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     progress reporting.  Chunking costs one host sync per ~launch_iters raw
     Gibbs iterations — negligible — and reuses at most two compiled programs
     per phase (the reference instead loops per-iteration on the host,
-    src/model/mcmc.jl:62-83)."""
+    src/model/mcmc.jl:62-83).  ``meter`` is a ChainProgress updated per
+    launch (reference wires its meter at mcmc.jl:73-80)."""
     jitted = {}
 
     def warm_fn(length):
@@ -137,24 +138,19 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
 
     for cw in _chunk_sizes(burnin, launch_iters):
         carry = warm_fn(cw)(*carry)
-    if burnin:
+        if meter is not None:
+            carry = jax.block_until_ready(carry)
+            meter.update(cw)
+    if burnin and meter is None:
         carry = jax.block_until_ready(carry)
-        if progress:
-            print(f"MCMC burnin done ({burnin} iterations)", flush=True)
 
     pieces = []
-    done = 0
-    tloop = time.time()
     for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
         key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
         carry = (key_f, state_f, tunes_f)
         pieces.append(np.asarray(jax.block_until_ready(r)))
-        done += ck
-        if progress:
-            rate = done / max(time.time() - tloop, 1e-9)
-            eta = (n_kept - done) / max(rate, 1e-9)
-            print(f"  {100 * done // n_kept:3d}% kept "
-                  f"[{done}/{n_kept} rows, ETA {eta:,.0f}s]", flush=True)
+        if meter is not None:
+            meter.update(ck * thin)
     rows = (np.concatenate(pieces, axis=1) if pieces
             else np.zeros((carry[0].shape[0], 0, 0)))
     return carry, rows
@@ -169,8 +165,8 @@ def _build_kernels(cm: CompiledModel):
 
 def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
          burnin: int = 0, thin: int = 1, chains: int = 1, seed: int = 123,
-         verbose: bool = True, progress: bool = False, dtype=None, mesh=None,
-         chain_axis: str = "chains", site_specs=None,
+         verbose: bool = True, progress: bool | None = None, dtype=None,
+         mesh=None, chain_axis: str = "chains", site_specs=None,
          launch_iters: int = 2000) -> ModelChains:
     """``mcmc(model, inputs, inits, iters; burnin, thin, chains)`` — run —
     or ``mcmc(mc, iters)`` — restart (reference mcmc.jl:19-33 and 3-16).
@@ -211,6 +207,17 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
 
     n_kept = (iters - burnin) // thin
 
+    # default-on ETA progress meter (reference default verbose=true shows
+    # ChainProgress, mcmc.jl:44-51); launches are capped so the meter gets
+    # at least ~10 updates
+    progress = verbose if progress is None else progress
+    meter = None
+    if progress:
+        from ..utils.progress import ChainProgress
+        total = burnin + n_kept * thin
+        meter = ChainProgress(total, chains=chains)
+        launch_iters = max(1, min(launch_iters, -(-total // 10)))
+
     t0 = time.time()
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
@@ -222,7 +229,7 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
     carry, rows = _run_chunked(
         gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,
-        thin, progress=progress, launch_iters=launch_iters)
+        thin, meter=meter, launch_iters=launch_iters)
     key_f, state_f, tunes_f = carry
     elapsed = time.time() - t0
     if verbose:

@@ -81,6 +81,22 @@ class Model:
         if kind == "observed" or kind == "output":
             sampled = set(self.keys("sampled"))
             return [n for n in self.keys("stochastic") if n not in sampled]
+        if kind == "assigned":
+            # reference keys_assigned (model.jl:74-90): inputs always hold
+            # values; dependent nodes only once inits exist.  Values live in
+            # state dicts here (functional design), so the state is passed
+            # explicitly: keys("assigned") -> inputs only; keys("assigned",
+            # state) -> inputs + stochastics present in the state + logicals
+            # (derivable) when every stochastic is present.
+            out = sorted(self.input_names)
+            if args and args[0]:
+                state = args[0]
+                stoch = self.keys("stochastic")
+                present = [n for n in stoch if n in state]
+                out += present
+                if len(present) == len(stoch):
+                    out += self.keys("logical")
+            return out
         if kind == "source":
             name = args[0]
             return list(self.graph.parents[name])

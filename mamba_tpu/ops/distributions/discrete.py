@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import random
 from jax.scipy import special as sps
 
@@ -247,14 +248,32 @@ class Hypergeometric(DiscreteUnivariateDistribution):
         return jnp.maximum(0.0, n - nf), jnp.minimum(ns, n)
 
     def sample(self, key, shape=()):
-        # inverse-CDF over the (bounded) enumerated support
+        # categorical draw over the (bounded) enumerated support; batched
+        # parameters enumerate a shared static support width and mask the
+        # per-element tail (reference gets rand for free from
+        # Distributions.jl, src/Mamba.jl:27-29)
         ns, nf, n = _bc(self.ns, self.nf, self.n)
         lo, hi = self.support_bounds()
-        kmax = int(jnp.max(hi - lo)) + 1 if jnp.ndim(hi) == 0 else None
-        if kmax is None:
-            raise NotImplementedError("batched Hypergeometric sampling")
-        ks = lo + jnp.arange(kmax, dtype=ns.dtype)
-        lp = self.log_prob(ks)
-        lp = jnp.where(ks <= hi, lp, -jnp.inf)
-        idx = random.categorical(key, lp, shape=shape)
-        return ks[idx]
+        # support width must be static; constant parameters fold at trace
+        # time, genuinely data-dependent ones cannot be enumerated
+        with jax.ensure_compile_time_eval():
+            try:
+                width = (jnp.minimum(jnp.asarray(self.ns), jnp.asarray(self.n))
+                         - jnp.maximum(0.0, jnp.asarray(self.n)
+                                       - jnp.asarray(self.nf)))
+                kmax = int(jnp.max(width)) + 1
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                raise NotImplementedError(
+                    "Hypergeometric sampling needs concrete (non-traced) "
+                    "parameters to bound the enumerated support") from None
+        batch = jnp.broadcast_shapes(jnp.shape(ns), jnp.shape(nf), jnp.shape(n))
+        lo = jnp.broadcast_to(lo, batch)
+        hi = jnp.broadcast_to(hi, batch)
+        ks = lo[..., None] + jnp.arange(kmax, dtype=ns.dtype)  # (*batch, k)
+        sub = Hypergeometric(jnp.broadcast_to(ns, batch)[..., None],
+                             jnp.broadcast_to(nf, batch)[..., None],
+                             jnp.broadcast_to(n, batch)[..., None])
+        lp = jnp.where(ks <= hi[..., None], sub.log_prob(ks), -jnp.inf)
+        idx = random.categorical(key, lp, axis=-1, shape=tuple(shape) + batch)
+        return jnp.broadcast_to(lo, tuple(shape) + batch) + idx

@@ -2,14 +2,14 @@
 functions ``<name>_init`` / ``<name>_step`` plus an engine-facing
 ``SamplerSpec`` subclass binding the kernel to a block of model nodes."""
 
-from .base import BlockKernel, SamplerSpec, metropolis_accept
+from .base import BlockKernel, SamplerSpec, metropolis_accept, validate, validatebinary, validatesimplex
 from .abc import ABC, ABCTune
 from .custom import Gibbs
 from .binary import (BHMC, BIA, BMC3, BMG, bhmc_init, bhmc_step, bia_init,
                      bia_step, bmc3_init, bmc3_step, bmg_init, bmg_step)
 from .dgs import DGS, DGSTune, dgs_step, discrete_step
 from .miss import MISS
-from .slicesimplex import SliceSimplex, slicesimplex_step
+from .slicesimplex import SliceSimplex, slicesimplex_init, slicesimplex_step
 from .amm import AMM, amm_init, amm_step
 from .chees import ChEESHMC, ChEESTune, chees_init, chees_step
 from .amwg import AMWG, amwg_init, amwg_step
@@ -28,7 +28,8 @@ __all__ = [
     "bia_step", "bmc3_init", "bmc3_step", "bmg_init", "bmg_step",
     "AMM", "amm_init", "amm_step",
     "DGS", "DGSTune", "dgs_step", "discrete_step", "MISS",
-    "SliceSimplex", "slicesimplex_step",
+    "SliceSimplex", "slicesimplex_init", "slicesimplex_step",
+    "validate", "validatebinary", "validatesimplex",
     "AMWG", "amwg_init", "amwg_step",
     "HMC", "hmc_init", "hmc_step",
     "MALA", "mala_init", "mala_step",

@@ -80,6 +80,41 @@ class SamplerSpec:
         return f"{type(self).__name__}({list(self.params)})"
 
 
+def validate(x):
+    """No-op validator — continuous-support kernels accept any vector
+    (reference sampler.jl:72)."""
+    return x
+
+
+def _concrete(x):
+    import numpy as np
+    if isinstance(x, jax.core.Tracer):
+        return None  # traced engine path: construction-time check impossible
+    return np.asarray(x)
+
+
+def validatebinary(x):
+    """Require every element to be 0/1 (reference sampler.jl:75-79).
+    Checked at stand-alone kernel construction on concrete inputs; traced
+    values pass through (the reference validates only at SamplerVariate
+    construction, which is likewise host-side)."""
+    import numpy as np
+    arr = _concrete(x)
+    if arr is not None and not np.all((arr == 0) | (arr == 1)):
+        raise ValueError("variate is not a binary vector")
+    return x
+
+
+def validatesimplex(x, atol: float = 1e-8):
+    """Require a probability vector (reference sampler.jl:81-83)."""
+    import numpy as np
+    arr = _concrete(x)
+    if arr is not None and not (np.all(arr >= -atol)
+                                and abs(arr.sum() - 1.0) < 1e-6):
+        raise ValueError("variate is not a probability vector")
+    return x
+
+
 def metropolis_accept(key, log_ratio, x_new, x_old):
     """Vector-state MH accept: returns x_new with prob exp(log_ratio)."""
     u = jax.random.uniform(key, (), jnp.asarray(log_ratio).dtype)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import SamplerSpec
+from .base import SamplerSpec, validatebinary
 
 
 # ---------------------------------------------------------------------------
@@ -38,7 +38,7 @@ class BHMCTune(NamedTuple):
 
 
 def bhmc_init(key, x0, traveltime) -> BHMCTune:
-    x0 = jnp.asarray(x0)
+    x0 = jnp.asarray(validatebinary(x0))
     dt = x0.dtype
     kp, kv = jax.random.split(key)
     return BHMCTune(
@@ -153,7 +153,7 @@ class BIATune(NamedTuple):
 
 def bia_init(x0, A=None, D=None, epsilon=None, decay: float = 0.55,
              target: float = 0.45) -> BIATune:
-    x0 = jnp.asarray(x0)
+    x0 = jnp.asarray(validatebinary(x0))
     dt = x0.dtype
     n = x0.shape[0]
     A = jnp.full(n, 1.0 / n, dt) if A is None else jnp.asarray(A, dt)
@@ -271,7 +271,7 @@ BMC3Tune = _IndexSelect
 
 
 def bmc3_init(x0, k=1) -> BMC3Tune:
-    n = jnp.asarray(x0).shape[0]
+    n = jnp.asarray(validatebinary(x0)).shape[0]
     if isinstance(k, int):
         if k > n:
             raise ValueError(f"k exceeds variate length {n}")
@@ -314,7 +314,7 @@ BMGTune = _IndexSelect
 
 
 def bmg_init(x0, k=1) -> BMGTune:
-    n = jnp.asarray(x0).shape[0]
+    n = jnp.asarray(validatebinary(x0)).shape[0]
     if isinstance(k, int):
         if k > n:
             raise ValueError(f"k exceeds variate length {n}")

@@ -13,11 +13,20 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .base import SamplerSpec
+from .base import SamplerSpec, validatesimplex
 
 
 class SliceSimplexTune(NamedTuple):
     scale: jax.Array
+
+
+def slicesimplex_init(x0, scale: float = 1.0) -> SliceSimplexTune:
+    """Stand-alone tune constructor; validates the initial simplex point
+    (reference SliceSimplexVariate validator, sampler.jl:81-83)."""
+    if not 0.0 < scale <= 1.0:
+        raise ValueError("scale is not in (0, 1]")
+    x0 = jnp.asarray(validatesimplex(x0))
+    return SliceSimplexTune(scale=jnp.asarray(scale, x0.dtype))
 
 
 def _make_first_simplex(key, x, scale):

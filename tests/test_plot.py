@@ -48,5 +48,6 @@ def test_progress_meter_runs(capsys):
     sim = mt.mcmc(model, inputs, inits, 300, burnin=100, chains=2,
                   verbose=False, progress=True)
     out = capsys.readouterr().out
-    assert "burnin done" in out and "100%" in out
+    assert "300 Iterations x 2 Chains" in out and "100%" in out
+    assert "remaining]" in out
     assert sim.niter == 200

@@ -8,25 +8,31 @@ warm cached run).
 
 The reference publishes no numeric throughput (BASELINE.md); its claim is
 "run-time performance on par with compiled MCMC software" (README.md:42).
-``vs_baseline`` is therefore measured against BASELINE_CPU_ITERS_S: this
-same config's single-chain serial throughput on host CPU with float64 —
-our stand-in for the reference's compiled-CPU performance class.
+``vs_baseline`` is therefore measured against this same config's host-CPU
+float64 throughput — our stand-in for the reference's compiled-CPU
+performance class — produced by the in-repo ``bench_cpu.py`` and read from
+``BASELINE_CPU.json`` (falls back to the last committed measurement if the
+file is absent).
 """
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 import mamba_tpu as mt
 from mamba_tpu.models import rats
 
-# Measured: rats reference scheme, serial-equivalent CPU float64 engine
-# (2,316 chain-iters/s, 2 chains, Xeon host). Stand-in for the reference's
-# "compiled MCMC software" CPU class.
-BASELINE_CPU_ITERS_S = 2300.0
+
+def _cpu_baseline_iters_s() -> float:
+    """CPU-class baseline from bench_cpu.py's output; see module docstring."""
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["cpu_iters_s"])
+    except (OSError, KeyError, ValueError):
+        return 2300.0  # last committed bench_cpu.py measurement (Xeon host)
 
 CHAINS = 1024
 ITERS = 1000
@@ -68,8 +74,12 @@ def main():
 
     samples_s = CHAINS * ITERS / warm
     s = mt.summarystats(sim).to_dict()
-    ess_s = sum(s[k]["ESS"] for k in ("mu_beta", "s2_c", "alpha0")) / 3 \
-        * CHAINS / warm
+    # Split-chain rank-normalized bulk ESS (Vehtari et al. 2021) is computed
+    # ACROSS the 1024-chain axis inside summarystats, so it is already a
+    # whole-run count — divide by wall only, never multiply by CHAINS.
+    ess_vals = [v["ESS"] for v in s.values()]
+    ess_total_s = sum(ess_vals) / warm
+    ess_min_s = min(ess_vals) / warm
     chees_s, chees_warm, chees_ok = _chees_run(ITERS, BURNIN, CHAINS)
     golden_ok = bool(abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"])
                      < 0.1)
@@ -78,12 +88,13 @@ def main():
         "metric": "rats NUTS samples/sec/chip",
         "value": round(samples_s, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_s / BASELINE_CPU_ITERS_S, 2),
+        "vs_baseline": round(samples_s / _cpu_baseline_iters_s(), 2),
         "extra": {
             "device": str(jax.devices()[0]),
             "chains": CHAINS, "iters": ITERS,
             "cold_s": round(cold, 2), "warm_s": round(warm, 2),
-            "ess_per_sec_mean_param": round(ess_s, 1),
+            "ess_per_sec_total": round(ess_total_s, 1),
+            "ess_per_sec_min_param": round(ess_min_s, 1),
             "mu_beta_mean": round(s["mu_beta"]["Mean"], 4),
             "golden_match": golden_ok,
             "chees_samples_s": round(chees_s, 1),

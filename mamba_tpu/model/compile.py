@@ -53,9 +53,16 @@ class CompiledModel:
     """
 
     def __init__(self, model: Model, inputs: dict[str, Any],
-                 example_inits: dict[str, Any], dtype=None):
+                 example_inits: dict[str, Any], dtype=None,
+                 masks: dict[str, Any] | None = None):
         self.model = model
         self.dtype = dtype or jax.dtypes.canonicalize_dtype(np.float64)
+        #: per-site likelihood masks (True = real observation).  Padded /
+        #: masked-out entries contribute exactly 0 to every log density —
+        #: this is how sharded observation axes support arbitrary (non-mesh-
+        #: divisible) lengths: the engine pads the data and masks the tail.
+        self.masks = {k: jnp.asarray(np.asarray(v, dtype=bool))
+                      for k, v in (masks or {}).items()}
         missing = model.input_names - set(inputs)
         if missing:
             raise ValueError(f"missing input values for {sorted(missing)}")
@@ -129,6 +136,22 @@ class CompiledModel:
         return self._node_dist(name, self._eval_env(state))
 
     # ---- full log density ---------------------------------------------
+    def _site_lp(self, name: str, dist, value, *, support_mask=True) -> jax.Array:
+        """Total log density of one site, honoring an optional observation
+        mask (padded entries contribute exactly 0, even if their padded
+        values would be NaN/-inf)."""
+        mask = self.masks.get(name)
+        if mask is None:
+            if support_mask:
+                return dist.total_log_prob(value)
+            return jnp.sum(dist.log_prob(value))
+        lp = dist.log_prob(value)
+        if support_mask:
+            lp = jnp.where(dist.in_support(value), lp, -jnp.inf)
+        if mask.ndim > lp.ndim:  # mask covers event dims: reduce with AND
+            mask = jnp.all(mask, axis=tuple(range(lp.ndim, mask.ndim)))
+        return jnp.sum(jnp.where(mask, lp, jnp.zeros_like(lp)))
+
     def logpdf(self, state: dict, terms: tuple[str, ...] | None = None) -> jax.Array:
         """Sum of stochastic log-densities (constrained space, no Jacobian).
         ``terms`` restricts to a subset (reference block logpdf,
@@ -138,7 +161,7 @@ class CompiledModel:
         lp = jnp.asarray(0.0, self.dtype)
         for n in names:
             dist = self._node_dist(n, env)
-            lp = lp + dist.total_log_prob(env[n])
+            lp = lp + self._site_lp(n, dist, env[n])
         return lp
 
     def eval_logicals(self, state: dict) -> dict:
@@ -232,9 +255,9 @@ class CompiledModel:
                 dist = dists[n]
                 if transform and n in pset:
                     # in-support by construction; no masking (keeps autodiff clean)
-                    lp = lp + jnp.sum(dist.log_prob(env[n]))
+                    lp = lp + self._site_lp(n, dist, env[n], support_mask=False)
                 else:
-                    lp = lp + dist.total_log_prob(env[n])
+                    lp = lp + self._site_lp(n, dist, env[n])
             if not transform:
                 # Reference early -Inf exit (simulation.jl:77-90): when block
                 # params leave their support, downstream terms may evaluate to
@@ -321,5 +344,6 @@ class CompiledModel:
         return tuple(monitored), labels, pack_monitored
 
 
-def compile_model(model: Model, inputs: dict, inits: dict, dtype=None) -> CompiledModel:
-    return CompiledModel(model, inputs, inits, dtype=dtype)
+def compile_model(model: Model, inputs: dict, inits: dict, dtype=None,
+                  masks: dict | None = None) -> CompiledModel:
+    return CompiledModel(model, inputs, inits, dtype=dtype, masks=masks)

@@ -185,8 +185,36 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if iters <= burnin:
         raise ValueError("iters must exceed burnin")
 
+    # Pad-and-mask sharded axes: with a mesh + site_specs, any named array
+    # (inputs or site inits) whose sharded dim doesn't divide the mesh axis
+    # is edge-padded to the next multiple and — for stochastic sites — its
+    # padded likelihood terms are masked to exactly zero, so arbitrary
+    # observation counts shard cleanly (no divisibility requirement).
+    masks = None
+    if mesh is not None and site_specs:
+        from ..parallel.mesh import pad_axes, pad_mask
+        inputs, _ = pad_axes(mesh, site_specs, inputs or {})
+        inits_list = inits if isinstance(inits, list) else [inits]
+        padded, pads = [], {}
+        for d in inits_list:
+            pd, pads_d = pad_axes(mesh, site_specs, d)
+            padded.append(pd)
+            pads.update(pads_d)
+        inits = padded
+        if pads:
+            stoch = set(model.keys("stochastic"))
+            monitored = set(model.keys("monitor"))
+            bad = sorted(set(pads) & stoch & monitored)
+            if bad:
+                raise ValueError(
+                    f"sites {bad} are sharded on a non-divisible axis and "
+                    f"monitored; set monitor=False (padded elements would "
+                    f"appear in the output) or pad the data yourself")
+            masks = {n: pad_mask(np.asarray(padded[0][n]).shape, p)
+                     for n, p in pads.items() if n in stoch}
+
     cm = compile_model(model, inputs, inits[0] if isinstance(inits, list) else inits,
-                       dtype=dtype)
+                       dtype=dtype, masks=masks)
     kernels = _build_kernels(cm)
     state0 = _chain_inits(cm, inits, chains)
     keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(

@@ -65,6 +65,68 @@ def shard_chain_tree(tree, mesh: Mesh, nchains: int,
     return jax.tree_util.tree_map_with_path(put, tree)
 
 
+def _spec_divisor(mesh: Mesh, entry) -> int:
+    """Number of shards a PartitionSpec entry implies (str or tuple)."""
+    if entry is None:
+        return 1
+    names = (entry,) if isinstance(entry, str) else tuple(entry)
+    d = 1
+    for n in names:
+        d *= mesh.shape[n]
+    return d
+
+
+def pad_axes(mesh: Mesh, site_specs: dict, arrays: dict,
+             mode: str = "edge"):
+    """Pad arrays named in ``site_specs`` so every sharded dim is divisible
+    by its mesh-axis size (GSPMD/device_put require even partitions).
+
+    Specs index the array's own dims: ``{'y': P('data')}`` shards y's dim 0,
+    ``{'xmat': P('data', None)}`` shards xmat's dim 0.  Padding repeats edge
+    values (keeps padded entries inside the distribution's support); the
+    engine masks their likelihood terms to exactly zero, so any observation
+    count works on any mesh (no divisibility requirement for the user).
+
+    Returns ``(padded_arrays, pads)`` where ``pads[name][dim] = (orig, new)``
+    for every dim actually padded.
+    """
+    out = dict(arrays)
+    pads: dict[str, dict[int, tuple[int, int]]] = {}
+    for name, spec in site_specs.items():
+        if name not in arrays:
+            continue
+        a = np.asarray(arrays[name])
+        widths = [(0, 0)] * a.ndim
+        info = {}
+        for dim, entry in enumerate(tuple(spec)):
+            div = _spec_divisor(mesh, entry)
+            if div <= 1:
+                continue
+            if dim >= a.ndim:
+                raise ValueError(
+                    f"site spec {spec} for {name!r} names dim {dim} but the "
+                    f"array has shape {a.shape}")
+            new = -(-a.shape[dim] // div) * div
+            if new != a.shape[dim]:
+                widths[dim] = (0, new - a.shape[dim])
+                info[dim] = (a.shape[dim], new)
+        if info:
+            out[name] = np.pad(a, widths, mode=mode)
+            pads[name] = info
+    return out, pads
+
+
+def pad_mask(shape: tuple, pads: dict[int, tuple[int, int]]) -> np.ndarray:
+    """Boolean mask over ``shape``: True for real entries, False for the
+    padded tail of each padded dim."""
+    mask = np.ones(shape, dtype=bool)
+    for dim, (orig, _new) in pads.items():
+        idx = [slice(None)] * len(shape)
+        idx[dim] = slice(orig, None)
+        mask[tuple(idx)] = False
+    return mask
+
+
 def distributed_init(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:

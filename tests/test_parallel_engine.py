@@ -39,20 +39,46 @@ def test_mesh_sharded_chains_match_unsharded():
 
 
 def test_mesh_2d_with_data_axis():
+    # 5 (prime) observations on a data axis of 2: the engine edge-pads the
+    # sharded arrays and masks the padded likelihood terms to zero, so no
+    # divisibility is required of the user.
     model, inputs, inits = _line()
-    # observation axis must divide the data mesh dim: use 6 points
-    inputs = {"xmat": jnp.stack([jnp.ones(6), jnp.arange(1.0, 7.0)], 1)}
-    inits = [{"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0, 5.6]),
-              "beta": jnp.zeros(2), "s2": 1.0}]
     mesh = make_mesh({"chains": 4, "data": 2})
     sim = mt.mcmc(model, inputs, inits, iters=400, burnin=100, chains=8,
                   seed=3, verbose=False, mesh=mesh,
-                  site_specs={"y": P("data")})
+                  site_specs={"y": P("data"), "xmat": P("data", None)})
     arr = np.asarray(sim.value)
     names = list(sim.names)
     assert np.isfinite(arr).all()
     b2 = arr[:, names.index("beta[2]"), :].mean()
     assert abs(b2 - 0.8) < 0.25
+
+
+def test_pad_and_mask_logpdf_matches_unpadded():
+    # the padded+masked compiled density must equal the unpadded density
+    # at identical parameter values (padding contributes exactly zero)
+    from mamba_tpu.parallel.mesh import pad_axes, pad_mask
+    model, inputs, inits = _line()
+    init = inits[0]
+    mesh = make_mesh({"chains": 4, "data": 2})
+    specs = {"y": P("data"), "xmat": P("data", None)}
+    p_inputs, _ = pad_axes(mesh, specs, inputs)
+    p_init, pads = pad_axes(mesh, specs, init)
+    assert pads == {"y": {0: (5, 6)}}
+    assert p_inputs["xmat"].shape == (6, 2) and p_init["y"].shape == (6,)
+    masks = {"y": pad_mask((6,), pads["y"])}
+    cm0 = mt.compile_model(model, inputs, init)
+    cm1 = mt.compile_model(model, p_inputs, p_init, masks=masks)
+    st0 = {k: jnp.asarray(init[k], cm0.dtype) for k in cm0.stochastic}
+    st1 = {k: jnp.asarray(p_init[k], cm1.dtype) for k in cm1.stochastic}
+    np.testing.assert_allclose(float(cm0.logpdf(st0)), float(cm1.logpdf(st1)),
+                               rtol=1e-12)
+    # block logf parity too (NUTS beta block, transformed space)
+    for transform in (True, False):
+        pk0, _, _, lf0 = cm0.block_functions(("beta", "s2"), transform)
+        pk1, _, _, lf1 = cm1.block_functions(("beta", "s2"), transform)
+        np.testing.assert_allclose(float(lf0(pk0(st0), st0)),
+                                   float(lf1(pk1(st1), st1)), rtol=1e-12)
 
 
 def test_chees_under_mesh():

@@ -59,6 +59,74 @@ def _chees_run(iters, burnin, chains):
     return chains * iters / warm, warm, ok
 
 
+def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
+    """Stretch config (BASELINE.json configs[5]): 10k-group hierarchical
+    logistic GLMM, 1024 vmapped chains, ADVI warm-start, plus a roofline
+    measurement of the hot kernel (value_and_grad of the 10k-dim NUTS
+    block density) against v5e HBM/MXU peaks."""
+    import numpy as np
+
+    from mamba_tpu.infer import advi
+    from mamba_tpu.models import glmm
+    from mamba_tpu.utils.roofline import roofline
+
+    import mamba_tpu.samplers as S
+
+    model, inputs, inits, truth = glmm.build(G)
+    t0 = time.time()
+    res = advi(model, inputs, inits[0], steps=1000, nmc=4, seed=1)
+    advi_s = time.time() - t0
+    draws = res.sample(jax.random.key(5), chains)
+    draws = {k: np.asarray(v) for k, v in draws.items()}
+    warm_inits = [dict(inits[0], **{k: d[i] for k, d in draws.items()})
+                  for i in range(chains)]
+    # warm-start the NUTS inverse mass with q's variational variances —
+    # at 10k dims this is the difference between depth-9 trees on an
+    # identity mass and well-scaled depth-3/4 trees from iteration one
+    var = res.unconstrained_variances()
+    nuts_params = list(model.samplers[0].params)
+    minv0 = np.concatenate([np.ravel(var[p]) for p in nuts_params])
+    model.set_samplers([S.NUTS(nuts_params, minv0=minv0),
+                        *model.samplers[1:]])
+
+    kw = dict(iters=iters, burnin=burnin, thin=1, chains=chains,
+              verbose=False)
+    mt.mcmc(model, inputs, warm_inits, **kw)          # compile
+    t0 = time.time()
+    sim = mt.mcmc(model, inputs, warm_inits, **kw)
+    warm = time.time() - t0
+    s = mt.summarystats(sim).to_dict()
+    beta_means = np.array([s[f"beta[{i+1}]"]["Mean"] for i in range(4)])
+    ok = bool(np.abs(beta_means - truth["beta"]).max() < 0.05
+              and abs(s["s2"]["Mean"] - truth["s2"]) < 0.1)
+
+    # hot-kernel roofline: one fused logpdf+gradient over all chains
+    cm = sim.compiled
+    params = tuple(model.samplers[0].params)
+    pack, _, _, logf = cm.block_functions(params, True)
+    state = sim.states["state"]
+    flat = jax.jit(jax.vmap(pack))(state)
+    grad_fn = jax.vmap(lambda v, st: jax.value_and_grad(logf)(v, st))
+    rf = roofline(grad_fn, flat, state, iters=20)
+
+    return {
+        "G": G, "chains": chains, "iters": iters,
+        "advi_warmstart_s": round(advi_s, 2),
+        "samples_s": round(chains * iters / warm, 1),
+        "warm_s": round(warm, 2),
+        "ess_per_sec_total": round(sum(v["ESS"] for v in s.values()) / warm, 1),
+        "recovery_ok": ok,
+        "grad_kernel": {
+            "dim": int(flat.shape[-1]) * chains,
+            "us_per_call": round(rf["s_per_call"] * 1e6, 1),
+            "gflops_s": rf["gflops_s"], "gbytes_s": rf["gbytes_s"],
+            "pct_hbm_roofline": rf["pct_hbm"],
+            "pct_flops_peak": rf["pct_flops"],
+            "bound": rf["bound"],
+        },
+    }
+
+
 def main():
     model, inputs, inits = rats.build("nuts")
     t0 = time.time()
@@ -83,6 +151,10 @@ def main():
     chees_s, chees_warm, chees_ok = _chees_run(ITERS, BURNIN, CHAINS)
     golden_ok = bool(abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"])
                      < 0.1)
+    try:
+        glmm_extra = _glmm_run()
+    except Exception as e:  # keep the headline metric even if stretch fails
+        glmm_extra = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "rats NUTS samples/sec/chip",
@@ -100,6 +172,7 @@ def main():
             "chees_samples_s": round(chees_s, 1),
             "chees_warm_s": round(chees_warm, 2),
             "chees_golden_match": chees_ok,
+            "glmm_10k_stretch": glmm_extra,
         },
     }))
 

@@ -53,6 +53,13 @@ class ADVIResult:
         out.update(self.mean_state())
         return out
 
+    def unconstrained_variances(self) -> dict[str, "np.ndarray"]:
+        """q's per-coordinate variances split by site, in unconstrained
+        (link-transformed) space — the natural warm-start for a NUTS
+        diagonal inverse mass (``NUTS(..., minv0=...)``)."""
+        parts = self._spec.unravel(jnp.exp(2.0 * self.log_sigma))
+        return {k: np.asarray(v) for k, v in parts.items()}
+
 
 def advi(model: Model, inputs: dict, inits: dict, params=None, *,
          steps: int = 2000, nmc: int = 8, lr: float = 5e-2, seed: int = 0,
@@ -104,4 +111,5 @@ def advi(model: Model, inputs: dict, inits: dict, params=None, *,
                      elbo_trace=np.asarray(trace), params=params,
                      _cm=cm, _unpack=unpack)
     res._state0 = state0
+    res._spec = spec
     return res

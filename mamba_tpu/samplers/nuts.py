@@ -105,9 +105,11 @@ def nutsepsilon(key, x, logfgrad):
 
 
 def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6,
-              mass_window: int = 0) -> NUTSTune:
+              mass_window: int = 0, minv0=None) -> NUTSTune:
     """Tune init (reference NUTSTune ctor, nuts.jl:22-27; epsilon search when
-    not given, nuts.jl:29-30)."""
+    not given, nuts.jl:29-30).  ``minv0`` seeds the diagonal inverse mass
+    with a posterior-variance estimate (e.g. ADVI's variational scales);
+    with ``mass_window == 0`` it is used as-is, never refreshed."""
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     if epsilon is None:
@@ -119,9 +121,13 @@ def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6,
         nalpha=jnp.asarray(0, jnp.int32),
         gamma=jnp.asarray(0.05, dt), kappa=jnp.asarray(0.75, dt),
         t0=jnp.asarray(10.0, dt), target=jnp.asarray(target, dt),
-        minv=jnp.ones_like(x0), w_n=jnp.asarray(0, jnp.int32),
+        minv=(jnp.ones_like(x0) if minv0 is None
+              else jnp.broadcast_to(jnp.asarray(minv0, dt), x0.shape)),
+        w_n=jnp.asarray(0, jnp.int32),
         w_mean=jnp.zeros_like(x0), w_m2=jnp.zeros_like(x0),
-        window=jnp.asarray(mass_window, jnp.int32))
+        window=jnp.asarray(
+            mass_window if (mass_window or minv0 is None) else 2**30,
+            jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -338,24 +344,29 @@ class NUTS(SamplerSpec):
     ``mass_window > 0`` additionally learns a diagonal mass matrix over
     warmup windows of that many iterations (beyond the reference — its NUTS
     is identity-mass only; a badly-scaled posterior like rats gains an
-    order of magnitude in ESS/draw)."""
+    order of magnitude in ESS/draw).  ``minv0`` seeds the inverse mass with
+    a posterior-variance estimate in the block's unconstrained ravel order
+    (e.g. ``ADVIResult.unconstrained_variances()``); with ``mass_window=0``
+    the seed is used as-is and never refreshed."""
 
     transform = True
     needs_grad = True
 
     def __init__(self, params, epsilon=None, target: float = 0.6,
-                 max_depth: int = 10, mass_window: int = 0):
+                 max_depth: int = 10, mass_window: int = 0, minv0=None):
         super().__init__(params)
         self.epsilon = epsilon
         self.target = float(target)
         self.max_depth = int(max_depth)
         self.mass_window = int(mass_window)
+        self.minv0 = minv0
 
     def kernel_init(self, key, x0, logfgrad):
         def lf(v):
             return logfgrad(v)
         return nuts_init(key, x0, lf, epsilon=self.epsilon,
-                         target=self.target, mass_window=self.mass_window)
+                         target=self.target, mass_window=self.mass_window,
+                         minv0=self.minv0)
 
     def kernel_step(self, key, x, tune, logfgrad, adapt):
         return nuts_step(key, x, tune, logfgrad, adapt, self.max_depth)

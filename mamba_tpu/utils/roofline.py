@@ -1,0 +1,94 @@
+"""Roofline measurement: achieved FLOP/s and HBM bytes/s of a compiled
+function vs the chip's peaks.
+
+The reference has no profiling at all (SURVEY.md §5); the north star for
+this rebuild is "speed-of-light log-prob throughput per chip", which needs
+an actual fraction-of-peak number.  XLA's compiled cost analysis provides
+static FLOP and bytes-accessed counts for a compiled executable; dividing
+by measured wall time per call gives achieved rates.  For MCMC log-density
+kernels the relevant ceiling is nearly always HBM bandwidth (elementwise
+likelihood math over large observation arrays), so ``pct_hbm`` is the
+headline number; ``pct_flops`` is reported for completeness.
+
+Peaks are per-chip datasheet values for the device kinds this project
+runs on (TPU v5e: 197 TFLOP/s bf16 MXU, 819 GB/s HBM).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+#: device_kind -> (peak FLOP/s, peak HBM bytes/s)
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),     # v5e datasheet
+    "TPU v5e": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),    # v6e (Trillium)
+}
+
+
+def device_peaks(device=None):
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAKS.items():
+        if k.lower() in kind.lower():
+            return v
+    return (None, None)
+
+
+def _cost_analysis(compiled) -> dict:
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if isinstance(ca, (list, tuple)):   # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    return dict(ca) if ca else {}
+
+
+def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
+    """Compile ``fn(*args)``, time it warm, and report achieved rates vs
+    the device's peak FLOP/s and HBM bandwidth.
+
+    Returns keys: s_per_call, flops, bytes, gflops_s, gbytes_s, pct_flops,
+    pct_hbm, bound ('memory' | 'compute' | 'latency' | 'unknown').
+    """
+    jfn = jax.jit(fn)
+    compiled = jfn.lower(*args).compile()
+    ca = _cost_analysis(compiled)
+    flops = float(ca.get("flops", 0.0) or 0.0)
+    nbytes = float(ca.get("bytes accessed", 0.0) or 0.0)
+
+    out = compiled(*args)
+    for _ in range(warmup - 1):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    s = (time.perf_counter() - t0) / iters
+
+    peak_f, peak_b = device_peaks()
+    gf = flops / s / 1e9 if flops else 0.0
+    gb = nbytes / s / 1e9 if nbytes else 0.0
+    pct_f = 100.0 * flops / s / peak_f if (flops and peak_f) else np.nan
+    pct_b = 100.0 * nbytes / s / peak_b if (nbytes and peak_b) else np.nan
+    if np.isnan(pct_f) and np.isnan(pct_b):
+        bound = "unknown"
+    elif max(np.nan_to_num(pct_f), np.nan_to_num(pct_b)) < 2.0:
+        bound = "latency"       # far off both rooflines: dispatch/latency
+    elif np.nan_to_num(pct_b) >= np.nan_to_num(pct_f):
+        bound = "memory"
+    else:
+        bound = "compute"
+    return {
+        "s_per_call": s, "flops": flops, "bytes": nbytes,
+        "gflops_s": round(gf, 2), "gbytes_s": round(gb, 2),
+        "pct_flops": None if np.isnan(pct_f) else round(pct_f, 2),
+        "pct_hbm": None if np.isnan(pct_b) else round(pct_b, 2),
+        "bound": bound,
+    }

@@ -186,12 +186,12 @@ def test_von_mises_fisher_sampling():
     kappa = 10.0
     mu = np.array([0.6, 0.0, 0.8])
     vmf = d.VonMisesFisher(jnp.asarray(mu), kappa)
-    s = np.asarray(vmf.sample(KEY, (50_000,)))
+    s = np.asarray(vmf.sample(KEY, (20_000,)))
     assert_close(np.linalg.norm(s, axis=-1), 1.0, rtol=0, atol=1e-5)
     # resultant direction ~ mu, mean resultant length A_3(kappa) = coth(k)-1/k
     r = s.mean(0)
     a3 = 1.0 / np.tanh(kappa) - 1.0 / kappa
-    assert_close(r, a3 * mu, rtol=0, atol=0.01)
+    assert_close(r, a3 * mu, rtol=0, atol=0.015)
     assert_close(np.asarray(vmf.mean()), a3 * mu, rtol=1e-4, atol=1e-6)
 
 

@@ -59,6 +59,25 @@ def test_advi_warm_start_line():
     assert ms["s2"] > 0
 
 
+def test_advi_mass_warm_started_nuts():
+    # ADVI variational variances seed NUTS's diagonal inverse mass
+    # (minv0); the warm-started run must still hit the golden posterior.
+    model, inputs, inits = line.build()
+    a = mt.advi(model, inputs, inits[0], steps=2000, lr=0.05)
+    var = a.unconstrained_variances()
+    assert set(var) == {"beta", "s2"}
+    assert var["beta"].shape == (2,) and np.all(var["beta"] > 0)
+    minv0 = np.ravel(var["beta"])
+    model.set_samplers([mt.NUTS("beta", minv0=minv0), mt.Slice("s2", 2.0)])
+    sim = mt.mcmc(model, inputs, a.as_inits(inits[0]), 1500, burnin=500,
+                  chains=4, verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["beta[2]"]["Mean"] - 0.8) < 0.2
+    # the seeded mass survives the run un-refreshed (mass_window=0)
+    tune = sim.states["tunes"][0]
+    np.testing.assert_allclose(np.asarray(tune.minv)[0], minv0, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_smc_conjugate_exact():
     model, y, m_exact, sd_exact = conjugate_model()

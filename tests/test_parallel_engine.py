@@ -27,7 +27,7 @@ def _line():
 
 def test_mesh_sharded_chains_match_unsharded():
     model, inputs, inits = _line()
-    kw = dict(iters=600, burnin=200, chains=8, seed=3, verbose=False)
+    kw = dict(iters=400, burnin=150, chains=8, seed=3, verbose=False)
     plain = mt.mcmc(model, inputs, inits, **kw)
     mesh = make_mesh({"chains": 8})
     sharded = mt.mcmc(model, inputs, inits, mesh=mesh, **kw)

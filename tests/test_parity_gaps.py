@@ -120,9 +120,9 @@ def test_chain_progress_format():
 def test_progress_defaults_on_with_verbose(capsys):
     from mamba_tpu.models import line
     model, inputs, inits = line.build()
-    mt.mcmc(model, inputs, inits, 200, burnin=50, chains=2, verbose=True)
+    mt.mcmc(model, inputs, inits, 80, burnin=20, chains=2, verbose=True)
     out = capsys.readouterr().out
     assert "Iterations x 2 Chains" in out and "remaining]" in out
     capsys.readouterr()
-    mt.mcmc(model, inputs, inits, 200, burnin=50, chains=2, verbose=False)
+    mt.mcmc(model, inputs, inits, 80, burnin=20, chains=2, verbose=False)
     assert "remaining]" not in capsys.readouterr().out

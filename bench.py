@@ -72,9 +72,16 @@ def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
 
     import mamba_tpu.samplers as S
 
-    model, inputs, inits, truth = glmm.build(G)
+    # fused=True: the Pallas likelihood+grad kernel (ops/fused_glmm.py) —
+    # 1.23x faster than the generic XLA einsum path at 1024 chains AND it
+    # never materializes the (chains, G, n) logits, which keeps the NUTS
+    # tree memory footprint flat.  ADVI runs on the generic build (same
+    # posterior, same sites) — its ELBO trace pushes the fused kernel's
+    # unrolled chain block over the 16 MB VMEM cliff.
+    model, inputs, inits, truth = glmm.build(G, fused=True)
+    model_g, inputs_g, inits_g, _ = glmm.build(G, fused=False)
     t0 = time.time()
-    res = advi(model, inputs, inits[0], steps=1000, nmc=4, seed=1)
+    res = advi(model_g, inputs_g, inits_g[0], steps=1000, nmc=4, seed=1)
     advi_s = time.time() - t0
     draws = res.sample(jax.random.key(5), chains)
     draws = {k: np.asarray(v) for k, v in draws.items()}
@@ -85,12 +92,19 @@ def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
     # identity mass and well-scaled depth-3/4 trees from iteration one
     var = res.unconstrained_variances()
     nuts_params = list(model.samplers[0].params)
+    # max_depth=8 bounds the worst-case launch duration (pre-adaptation
+    # iterations at 1024 chains x 10k dims run seconds per iteration;
+    # unbounded depth-10 trees overflow the remote transport's window)
     minv0 = np.concatenate([np.ravel(var[p]) for p in nuts_params])
-    model.set_samplers([S.NUTS(nuts_params, minv0=minv0),
+    model.set_samplers([S.NUTS(nuts_params, minv0=minv0, max_depth=8),
                         *model.samplers[1:]])
 
+    # small launch chunks: early burnin iterations before step-size
+    # adaptation settles can run deep trees (seconds per iteration at 1024
+    # chains x 10k dims), and a single multi-minute device launch exceeds
+    # the remote-TPU transport's execution window
     kw = dict(iters=iters, burnin=burnin, thin=1, chains=chains,
-              verbose=False)
+              verbose=False, launch_iters=3)
     mt.mcmc(model, inputs, warm_inits, **kw)          # compile
     t0 = time.time()
     sim = mt.mcmc(model, inputs, warm_inits, **kw)

@@ -28,7 +28,13 @@ P = 4
 
 
 def build(G: int = 10_000, n: int = 10, seed: int = 0,
-          mass_window: int = 100):
+          mass_window: int = 100, fused: bool = False):
+    """``fused=True`` swaps the observation node's generic
+    Bernoulli(sigmoid(einsum)) likelihood for the fused Pallas kernel
+    (ops/fused_glmm.py): one VMEM-resident pass computes the log-likelihood
+    and both gradients, eliminating the HBM round-trip of the
+    (chains, G, n) logit intermediates.  Observations then live as a
+    lane-aligned (n, G) matrix."""
     rng = np.random.default_rng(seed)
     beta_true = np.array([1.0, -0.5, 0.25, 0.0])
     s2_true = 0.5
@@ -37,10 +43,21 @@ def build(G: int = 10_000, n: int = 10, seed: int = 0,
     logits = X @ beta_true + b_true[:, None]
     Y = (rng.random((G, n)) < 1 / (1 + np.exp(-logits))).astype(float)
 
-    model = Model(
-        y=Stochastic(2, lambda x, beta, b: Bernoulli(
+    if fused:
+        from ..ops.fused_glmm import BernoulliLogitGLMM
+        y_node = Stochastic(2, lambda xt, beta, b: BernoulliLogitGLMM(
+            xt, beta, b), monitor=False)
+        inputs = {"xt": np.ascontiguousarray(X.transpose(2, 1, 0))}
+        y_init = np.ascontiguousarray(Y.T)           # (n, G), G on lanes
+    else:
+        y_node = Stochastic(2, lambda x, beta, b: Bernoulli(
             jax.nn.sigmoid(jnp.einsum("gnp,p->gn", x, beta) + b[:, None])),
-            monitor=False),
+            monitor=False)
+        inputs = {"x": X}
+        y_init = Y
+
+    model = Model(
+        y=y_node,
         b=Stochastic(1, lambda s2: Normal(jnp.zeros(G), jnp.sqrt(s2)),
                      monitor=False),
         beta=Stochastic(1, lambda: Normal(jnp.zeros(P), jnp.sqrt(10.0))),
@@ -50,7 +67,6 @@ def build(G: int = 10_000, n: int = 10, seed: int = 0,
         NUTS(["beta", "b"], mass_window=mass_window),
         Slice("s2", 1.0, form="univariate"),
     ])
-    inputs = {"x": X}
-    inits = [{"y": Y, "beta": np.zeros(P), "b": np.zeros(G), "s2": 1.0}]
+    inits = [{"y": y_init, "beta": np.zeros(P), "b": np.zeros(G), "s2": 1.0}]
     truth = {"beta": beta_true, "s2": s2_true, "b": b_true}
     return model, inputs, inits, truth

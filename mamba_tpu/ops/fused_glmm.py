@@ -93,10 +93,30 @@ def _kernel(G: int, Xt_ref, y_ref, beta_ref, b_ref,
 CHAIN_BLOCK = 8
 
 
+#: max group-lanes per kernel call.  The unrolled chain block keeps
+#: ~7 live (n, G_chunk) temporaries per chain; 4096 lanes x 8 chains
+#: ~ 10 MB, safely inside the 16 MB VMEM budget (a full 10k-group call
+#: sat at 17-18 MB — over the cliff on some traces).
+MAX_G_LANES = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("G",))
 def _fused_call_batched(Xt, y, betas, bs, *, G: int):
-    """betas: (C, P), bs: (C, Gp) with C a multiple of CHAIN_BLOCK."""
+    """betas: (C, P), bs: (C, Gp) with C a multiple of CHAIN_BLOCK.
+    Large group axes are processed in MAX_G_LANES chunks (one kernel call
+    each; partial results reduce outside)."""
     P, n, Gp = Xt.shape
+    if Gp > MAX_G_LANES:
+        lp_t, gbeta_t, gbs = 0.0, 0.0, []
+        for off in range(0, Gp, MAX_G_LANES):
+            end = min(off + MAX_G_LANES, Gp)
+            Gc = max(0, min(G - off, end - off))
+            lp, gbeta, gb = _fused_call_batched(
+                Xt[:, :, off:end], y[:, off:end], betas, bs[:, off:end],
+                G=Gc)
+            lp_t, gbeta_t = lp_t + lp, gbeta_t + gbeta
+            gbs.append(gb)
+        return lp_t, gbeta_t, jnp.concatenate(gbs, axis=1)
     C = bs.shape[0]
     Cb = CHAIN_BLOCK
     dt = bs.dtype

@@ -59,11 +59,16 @@ def _chees_run(iters, burnin, chains):
     return chains * iters / warm, warm, ok
 
 
-def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
+def _glmm_run(chains=1024, iters=100, burnin=40, G=10_000):
     """Stretch config (BASELINE.json configs[5]): 10k-group hierarchical
-    logistic GLMM, 1024 vmapped chains, ADVI warm-start, plus a roofline
-    measurement of the hot kernel (value_and_grad of the 10k-dim NUTS
-    block density) against v5e HBM/MXU peaks."""
+    logistic GLMM, 1024 vmapped chains, ADVI warm-start (positions + mass),
+    plus a roofline measurement of the hot kernel (value_and_grad of the
+    10k-dim gradient block density) against v5e HBM/MXU peaks.
+
+    Sampler: ChEES-HMC with the ADVI-seeded diagonal mass — measured 5.6x
+    faster per iteration and 3.2x the ESS/s of mass-seeded NUTS at this
+    scale (docs/perf.md: NUTS's O(max_depth x dim) tree bookkeeping and
+    deepest-tree lockstep dominate above ~1k dims)."""
     import numpy as np
 
     from mamba_tpu.infer import advi
@@ -73,11 +78,10 @@ def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
     import mamba_tpu.samplers as S
 
     # fused=True: the Pallas likelihood+grad kernel (ops/fused_glmm.py) —
-    # 1.23x faster than the generic XLA einsum path at 1024 chains AND it
-    # never materializes the (chains, G, n) logits, which keeps the NUTS
-    # tree memory footprint flat.  ADVI runs on the generic build (same
-    # posterior, same sites) — its ELBO trace pushes the fused kernel's
-    # unrolled chain block over the 16 MB VMEM cliff.
+    # 1.28x faster than the generic XLA einsum path at 1024 chains AND it
+    # never materializes the (chains, G, n) logits, which keeps the
+    # leapfrog memory footprint flat.  ADVI runs on the generic build
+    # (same posterior, same sites).
     model, inputs, inits, truth = glmm.build(G, fused=True)
     model_g, inputs_g, inits_g, _ = glmm.build(G, fused=False)
     t0 = time.time()
@@ -87,22 +91,18 @@ def _glmm_run(chains=1024, iters=150, burnin=50, G=10_000):
     draws = {k: np.asarray(v) for k, v in draws.items()}
     warm_inits = [dict(inits[0], **{k: d[i] for k, d in draws.items()})
                   for i in range(chains)]
-    # warm-start the NUTS inverse mass with q's variational variances —
-    # at 10k dims this is the difference between depth-9 trees on an
-    # identity mass and well-scaled depth-3/4 trees from iteration one
+    # seed the diagonal inverse mass with q's variational variances — the
+    # 10k-dim block mixes scales from ~1e-4 (beta) to ~1e-1 (b); identity
+    # mass would force tiny steps and maximal trajectories
     var = res.unconstrained_variances()
-    nuts_params = list(model.samplers[0].params)
-    # max_depth=8 bounds the worst-case launch duration (pre-adaptation
-    # iterations at 1024 chains x 10k dims run seconds per iteration;
-    # unbounded depth-10 trees overflow the remote transport's window)
-    minv0 = np.concatenate([np.ravel(var[p]) for p in nuts_params])
-    model.set_samplers([S.NUTS(nuts_params, minv0=minv0, max_depth=8),
+    block_params = list(model.samplers[0].params)
+    minv0 = np.concatenate([np.ravel(var[p]) for p in block_params])
+    model.set_samplers([S.ChEESHMC(block_params, minv0=minv0, max_steps=256),
                         *model.samplers[1:]])
 
-    # small launch chunks: early burnin iterations before step-size
-    # adaptation settles can run deep trees (seconds per iteration at 1024
-    # chains x 10k dims), and a single multi-minute device launch exceeds
-    # the remote-TPU transport's execution window
+    # small launch chunks: iterations cost ~1 s at this scale and a single
+    # multi-minute device launch exceeds the remote-TPU transport's
+    # execution window
     kw = dict(iters=iters, burnin=burnin, thin=1, chains=chains,
               verbose=False, launch_iters=3)
     mt.mcmc(model, inputs, warm_inits, **kw)          # compile

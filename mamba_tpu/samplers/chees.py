@@ -51,6 +51,9 @@ class ChEESTune(NamedTuple):
     adam_v: jax.Array       # Adam second moment
     target: jax.Array       # step-size accept target
     max_steps: jax.Array    # safety cap on leapfrog steps per iteration
+    minv: jax.Array         # diagonal inverse mass (ones = identity);
+                            # seed with a posterior-variance estimate
+                            # (e.g. ADVI scales) for badly-scaled blocks
 
 
 def _halton2(m):
@@ -69,9 +72,11 @@ def _halton2(m):
 
 def chees_init(key, x0, logfgrad, epsilon: float | None = None,
                traj: float | None = None, target: float = 0.75,
-               max_steps: int = 1024) -> ChEESTune:
+               max_steps: int = 1024, minv0=None) -> ChEESTune:
     """Tune init; ``epsilon`` defaults to the NUTS doubling search,
-    ``traj`` to one initial step."""
+    ``traj`` to one initial step.  ``minv0`` seeds the diagonal inverse
+    mass (kept fixed; lockstep across chains is preserved because every
+    chain carries the same values)."""
     from .nuts import nutsepsilon
 
     x0 = jnp.asarray(x0)
@@ -89,7 +94,9 @@ def chees_init(key, x0, logfgrad, epsilon: float | None = None,
         mu=jnp.log(10.0 * eps), m=jnp.asarray(0, jnp.int32),
         traj=t0, adam_m=z, adam_v=z,
         target=jnp.asarray(target, dt),
-        max_steps=jnp.asarray(max_steps, jnp.int32))
+        max_steps=jnp.asarray(max_steps, jnp.int32),
+        minv=(jnp.ones_like(x0) if minv0 is None
+              else jnp.broadcast_to(jnp.asarray(minv0, dt), x0.shape)))
 
 
 def _pmean(x):
@@ -113,13 +120,16 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     L = jnp.clip(jnp.ceil(h * tune.traj / eps).astype(jnp.int32),
                  1, tune.max_steps)
 
-    p0 = jax.random.normal(kp, x.shape, dt)
+    # diagonal mass: p ~ N(0, M) with M = minv^-1, kinetic = p' minv p / 2,
+    # dx/dt = minv * p (Neal 2011 eq. 5.29-5.31)
+    minv = tune.minv
+    p0 = jax.random.normal(kp, x.shape, dt) * jax.lax.rsqrt(minv)
     logf0, grad0 = logfgrad(x)
 
     def body(c):
         i, xi, pi, logfi, gradi = c
         pi = pi + 0.5 * eps * gradi
-        xi = xi + eps * pi
+        xi = xi + eps * (minv * pi)
         logfi, gradi = logfgrad(xi)
         pi = pi + 0.5 * eps * gradi
         return i + 1, xi, pi, logfi, gradi
@@ -130,7 +140,8 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     _, x1, p1, logf1, grad1 = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), x, p0, logf0, grad0))
 
-    dH = (logf1 - 0.5 * jnp.dot(p1, p1)) - (logf0 - 0.5 * jnp.dot(p0, p0))
+    dH = (logf1 - 0.5 * jnp.dot(p1, minv * p1)) \
+        - (logf0 - 0.5 * jnp.dot(p0, minv * p0))
     dH = jnp.where(jnp.isnan(dH), -jnp.inf, dH)
     alpha = jnp.minimum(1.0, jnp.exp(dH))
     u = jax.random.uniform(ka, (), dt)
@@ -153,7 +164,8 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     d_prop = x1 - xbar
     d_cur = x - xbar
     dsq = jnp.dot(d_prop, d_prop) - jnp.dot(d_cur, d_cur)
-    g_chain = dsq * jnp.dot(d_prop, p1) * h       # d ChEES / d T proxy
+    # d ChEES / d T proxy; dx/dt = minv * p under the diagonal metric
+    g_chain = dsq * jnp.dot(d_prop, minv * p1) * h
     # divergent trajectories yield non-finite proposals; they carry zero
     # accept probability but 0 * nan would still poison the pmean — mask.
     g_chain = jnp.where(jnp.isfinite(g_chain), g_chain, 0.0)
@@ -180,7 +192,7 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
         traj=jnp.where(adapt, new_traj, tune.traj),
         adam_m=jnp.where(adapt, adam_m, tune.adam_m),
         adam_v=jnp.where(adapt, adam_v, tune.adam_v),
-        target=tune.target, max_steps=tune.max_steps)
+        target=tune.target, max_steps=tune.max_steps, minv=tune.minv)
     return x2, new
 
 
@@ -195,16 +207,17 @@ class ChEESHMC(SamplerSpec):
     needs_grad = True
 
     def __init__(self, params, epsilon=None, traj=None, target=0.75,
-                 max_steps=1024):
+                 max_steps=1024, minv0=None):
         super().__init__(params)
         self.epsilon = epsilon
         self.traj = traj
         self.target = target
         self.max_steps = max_steps
+        self.minv0 = minv0
 
     def kernel_init(self, key, x0, logfgrad):
         return chees_init(key, x0, logfgrad, self.epsilon, self.traj,
-                          self.target, self.max_steps)
+                          self.target, self.max_steps, minv0=self.minv0)
 
     def kernel_step(self, key, x, tune, logfgrad, adapt):
         return chees_step(key, x, tune, logfgrad, adapt)

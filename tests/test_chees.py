@@ -83,3 +83,35 @@ def test_chees_in_engine_line_model():
     assert abs(b1 - 0.6) < 0.45, b1
     assert abs(b2 - 0.8) < 0.15, b2
     assert np.all(arr[:, names.index("s2"), :] > 0)
+
+
+def test_chees_mass_seeded_badly_scaled_gaussian():
+    # target: independent N(0, diag(1e-4, 1, 1e4)) — identity-mass HMC
+    # needs ~100x more steps than a correctly-scaled mass; minv0 = the
+    # true variances makes every coordinate unit-scale.
+    from mamba_tpu.samplers.chees import chees_init, chees_step
+
+    var = jnp.array([1e-4, 1.0, 1e4])
+
+    def logfgrad(x):
+        return -0.5 * jnp.sum(x * x / var), -x / var
+
+    def run_chain(key, x0):
+        tune = chees_init(key, x0, logfgrad, minv0=var, max_steps=64)
+
+        def step(c, k):
+            x, t = c
+            x, t = chees_step(k, x, t, logfgrad, jnp.asarray(True))
+            return (x, t), x
+        keys = jax.random.split(key, 1500)
+        (_, t), xs = jax.lax.scan(step, (x0, tune), keys)
+        return xs, t
+
+    keys = jax.random.split(jax.random.key(0), 16)
+    x0 = jnp.zeros((16, 3))
+    xs, tune = jax.jit(jax.vmap(run_chain, axis_name="chains"))(keys, x0)
+    draws = np.asarray(xs[:, 500:, :]).reshape(-1, 3)
+    np.testing.assert_allclose(draws.std(0), np.sqrt(var), rtol=0.2)
+    np.testing.assert_allclose(draws.mean(0) / np.sqrt(var), 0.0, atol=0.1)
+    # the seeded mass is carried unchanged
+    np.testing.assert_allclose(np.asarray(tune.minv)[0], var, rtol=1e-6)

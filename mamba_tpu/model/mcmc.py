@@ -54,6 +54,15 @@ def _chain_inits(cm: CompiledModel, inits, chains: int):
     # sees finite log-densities.
     nan_sites = [n for n in cm.stochastic
                  if np.isnan(np.asarray(stacked[n])).any()]
+    bad = [n for n in nan_sites
+           if not getattr(cm.example_dists[n], "supports_imputation", True)]
+    if bad:
+        raise ValueError(
+            f"sites {bad} have missing (NaN) values but their distribution "
+            f"shares one value array across all chains (e.g. the fused "
+            f"BernoulliLogitGLMM kernel) — per-chain MISS imputation would "
+            f"silently evaluate every chain against chain 0's data. "
+            f"Rebuild the model with the generic likelihood (fused=False).")
     if nan_sites:
         masks = {n: jnp.asarray(np.isnan(np.asarray(stacked[n])))
                  for n in nan_sites}
@@ -210,6 +219,20 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
                     f"sites {bad} are sharded on a non-divisible axis and "
                     f"monitored; set monitor=False (padded elements would "
                     f"appear in the output) or pad the data yourself")
+            observed = set(model.keys("observed"))
+            sampled_bad = sorted((set(pads) & stoch) - observed)
+            if sampled_bad:
+                # masked likelihood terms give padded coordinates exactly
+                # zero gradient, so under HMC/NUTS momentum they random-walk
+                # unboundedly and can overflow through constrained bijectors
+                # (inf/NaN then poisons U-turn dot products for the real
+                # coordinates).  Only observed (data) sites may be padded.
+                raise ValueError(
+                    f"sampled sites {sampled_bad} are sharded on a "
+                    f"non-divisible mesh axis; pad-and-mask is only valid "
+                    f"for observed data sites (padded sampled coordinates "
+                    f"would drift unboundedly). Make the axis divisible or "
+                    f"shard a different dimension.")
             masks = {n: pad_mask(np.asarray(padded[0][n]).shape, p)
                      for n, p in pads.items() if n in stoch}
 

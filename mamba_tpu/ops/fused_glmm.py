@@ -171,7 +171,17 @@ def bernoulli_logit_glmm_loglik(Xt, y, beta, b):
 
     Xt: (P, n, G) covariates, y: (n, G) in {0,1}, beta: (P,), b: (G,).
     One fused VMEM-resident pass; gradients for beta and b come free via
-    the custom VJP."""
+    the custom VJP.
+
+    **Contract: Xt and y must be constants (data).**  The custom VJP
+    returns zero cotangents for them, so if Xt or y were computed from
+    sampled parameters (e.g. through a logical node) their gradient would
+    silently vanish and the posterior would be wrong.  Likewise ``vmap``
+    over chains shares ONE y across the batch (the engine chain-stacks
+    observed data with identical rows); per-chain differing observations —
+    MISS imputation over this node, or a user vmapping over datasets — are
+    unsupported and rejected by the engine (``supports_imputation=False``).
+    Use the generic ``Bernoulli(sigmoid(...))`` likelihood for those."""
     lp, _, _ = _fwd_parts(Xt, y, beta, b)
     return lp
 
@@ -252,6 +262,11 @@ class BernoulliLogitGLMM(Distribution):
 
     event_ndim = 2
     is_discrete = True
+    #: the fused kernel shares one y across the vmapped chain batch — MISS
+    #: imputation (per-chain y values) would silently evaluate every chain
+    #: against chain 0's data, so the engine rejects NaN inits on this node
+    #: (model/mcmc.py _chain_inits).  Use fused=False for missing data.
+    supports_imputation = False
 
     @property
     def batch_shape(self):
@@ -269,10 +284,14 @@ class BernoulliLogitGLMM(Distribution):
         return bernoulli_logit_glmm_loglik(self.Xt, x, self.beta, self.b)
 
     def total_log_prob(self, x):
-        return self.log_prob(x)
+        # honor support like the generic Bernoulli does: non-binary y yields
+        # -inf, not a silently-wrong density (the check is one cheap pass
+        # over y — no Xt traffic — per call)
+        return jnp.where(self.in_support(x), self.log_prob(x),
+                         -jnp.inf)
 
     def in_support(self, x):
-        return jnp.asarray(True)
+        return jnp.all((x == 0.0) | (x == 1.0))
 
     def sample(self, key, shape=()):
         p = jax.nn.sigmoid(self._logits())

@@ -39,6 +39,44 @@ def device_peaks(device=None):
     return (None, None)
 
 
+def _result_device(out):
+    """Device the compiled call actually ran on (first output buffer)."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        devs = getattr(leaf, "devices", None)
+        if callable(devs):
+            ds = list(devs())
+            if ds:
+                return ds[0]
+    return None
+
+
+def vpu_elementwise_ceiling(n_elems: int = 64 * 1024 * 1024,
+                            iters: int = 20) -> dict:
+    """Measured ceiling for fp32 transcendental-heavy elementwise code: a
+    fused exp+add pass over ``n_elems`` VMEM-tiled floats, reporting achieved
+    elements/s.  The datasheet FLOP/s peak is the *bf16 MXU* number — fp32
+    VPU likelihood kernels top out 2-3 orders of magnitude below it, so this
+    empirical number is the honest 'speed of light' to compare elementwise
+    log-density kernels against (ADVICE r2: don't divide VPU FLOPs by the
+    MXU peak and call the kernel latency-bound)."""
+    import jax.numpy as jnp
+    x = jnp.ones((n_elems // 128, 128), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return jnp.exp(-jnp.abs(x)) + x
+
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    out = x
+    for _ in range(iters):
+        out = f(out)
+    jax.block_until_ready(out)
+    s = (time.perf_counter() - t0) / iters
+    return {"s_per_call": s, "elems": n_elems,
+            "gelems_s": round(n_elems / s / 1e9, 2)}
+
+
 def _cost_analysis(compiled) -> dict:
     try:
         ca = compiled.cost_analysis()
@@ -72,7 +110,7 @@ def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
     jax.block_until_ready(out)
     s = (time.perf_counter() - t0) / iters
 
-    peak_f, peak_b = device_peaks()
+    peak_f, peak_b = device_peaks(_result_device(out))
     gf = flops / s / 1e9 if flops else 0.0
     gb = nbytes / s / 1e9 if nbytes else 0.0
     pct_f = 100.0 * flops / s / peak_f if (flops and peak_f) else np.nan
@@ -91,4 +129,9 @@ def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
         "pct_flops": None if np.isnan(pct_f) else round(pct_f, 2),
         "pct_hbm": None if np.isnan(pct_b) else round(pct_b, 2),
         "bound": bound,
+        # convention note (ADVICE r2): the FLOP peak is the bf16 MXU
+        # datasheet number; fp32 VPU-heavy elementwise kernels saturate far
+        # below it, so a tiny pct_flops does NOT mean latency-bound — compare
+        # against vpu_elementwise_ceiling() for such kernels.
+        "flops_peak_convention": "bf16 MXU datasheet",
     }

@@ -84,3 +84,29 @@ def test_fused_glmm_short_mcmc_recovers():
     s = mt.summarystats(sim).to_dict()
     est = np.array([s[f"beta[{i+1}]"]["Mean"] for i in range(4)])
     assert np.abs(est - truth["beta"]).max() < 0.35
+
+
+def test_fused_in_support_rejects_nonbinary():
+    Xt, y, beta, b = _data(G=16)
+    d = BernoulliLogitGLMM(Xt, beta, b)
+    assert bool(d.in_support(y))
+    bad = y.at[0, 0].set(0.5)
+    assert not bool(d.in_support(bad))
+    assert np.isneginf(float(d.total_log_prob(bad)))
+    assert np.isfinite(float(d.total_log_prob(y)))
+
+
+def test_fused_rejects_miss_nan_data():
+    # MISS imputation writes per-chain y values; the fused kernel shares one
+    # y across the chain batch, so NaN (missing) inits must fail loudly at
+    # mcmc entry instead of silently using chain 0's data (ADVICE r2).
+    import pytest
+    from mamba_tpu.models import glmm
+    model, inputs, inits, _ = glmm.build(G=16, n=5, seed=3, fused=True)
+    y = np.asarray(inits[0]["y"], dtype=float).copy()
+    y[0, 0] = np.nan
+    inits = [dict(inits[0], y=y)]
+    from mamba_tpu.samplers import MISS
+    model.set_samplers([MISS("y"), *model.samplers])
+    with pytest.raises(ValueError, match="fused|supports_imputation|chain 0"):
+        mt.mcmc(model, inputs, inits, 10, burnin=2, chains=2, verbose=False)

@@ -54,6 +54,18 @@ class ChEESTune(NamedTuple):
     minv: jax.Array         # diagonal inverse mass (ones = identity);
                             # seed with a posterior-variance estimate
                             # (e.g. ADVI scales) for badly-scaled blocks
+    # cross-chain windowed mass adaptation (warmup only; window == 0
+    # disables).  Pooled posterior variance over chains x iterations is
+    # decomposed as  E_t[Var_c(x)] + Var_t[E_c(x)]: per iteration the
+    # cross-chain moments are pmean'd (identical on every chain, so
+    # lockstep is preserved), within-iteration variances accumulate in
+    # w_sw, and a Welford recursion over the iteration axis tracks the
+    # spread of the cross-chain means (w_mean / w_m2).
+    w_n: jax.Array          # iterations accumulated in current window
+    w_mean: jax.Array       # running mean of cross-chain means
+    w_m2: jax.Array         # Welford M2 of cross-chain means
+    w_sw: jax.Array         # sum of within-iteration cross-chain variances
+    window: jax.Array       # refresh period (int32; 0 = off)
 
 
 def _halton2(m):
@@ -72,11 +84,16 @@ def _halton2(m):
 
 def chees_init(key, x0, logfgrad, epsilon: float | None = None,
                traj: float | None = None, target: float = 0.75,
-               max_steps: int = 1024, minv0=None) -> ChEESTune:
+               max_steps: int = 1024, minv0=None,
+               mass_window: int = 0) -> ChEESTune:
     """Tune init; ``epsilon`` defaults to the NUTS doubling search,
     ``traj`` to one initial step.  ``minv0`` seeds the diagonal inverse
-    mass (kept fixed; lockstep across chains is preserved because every
-    chain carries the same values)."""
+    mass (lockstep across chains is preserved because every chain carries
+    the same values).  ``mass_window > 0`` refreshes ``minv`` every that
+    many warmup iterations from pooled cross-chain statistics (see
+    ChEESTune) — the recommended mode above ~1k dimensions, where an
+    unseeded identity mass would otherwise force tiny steps on
+    badly-scaled posteriors."""
     from .nuts import nutsepsilon
 
     x0 = jnp.asarray(x0)
@@ -96,7 +113,11 @@ def chees_init(key, x0, logfgrad, epsilon: float | None = None,
         target=jnp.asarray(target, dt),
         max_steps=jnp.asarray(max_steps, jnp.int32),
         minv=(jnp.ones_like(x0) if minv0 is None
-              else jnp.broadcast_to(jnp.asarray(minv0, dt), x0.shape)))
+              else jnp.broadcast_to(jnp.asarray(minv0, dt), x0.shape)),
+        w_n=jnp.asarray(0, jnp.int32),
+        w_mean=jnp.zeros_like(x0), w_m2=jnp.zeros_like(x0),
+        w_sw=jnp.zeros_like(x0),
+        window=jnp.asarray(mass_window, jnp.int32))
 
 
 def _pmean(x):
@@ -104,6 +125,13 @@ def _pmean(x):
         return jax.lax.pmean(x, CHAIN_AXIS)
     except NameError:
         return x
+
+
+def _axis_size(dt):
+    try:
+        return jax.lax.psum(jnp.asarray(1.0, dt), CHAIN_AXIS)
+    except NameError:
+        return jnp.asarray(1.0, dt)
 
 
 def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
@@ -183,16 +211,47 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
                         tune.epsilonbar * tune.max_steps.astype(dt))
     new_traj = jnp.where(jnp.isfinite(new_traj), new_traj, tune.traj)
 
+    # ---- windowed cross-chain mass adaptation (warmup only) ----------
+    # pooled variance over chains x window iterations:
+    #   Var = E_t[Var_c(x)] + Var_t[E_c(x)]
+    # Every term is pmean'd, so all chains apply the identical minv.
+    do_w = adapt & (tune.window > 0)
+    mc = _pmean(x2)
+    vc = _pmean((x2 - mc) ** 2)
+    w_n = tune.w_n + jnp.where(do_w, 1, 0).astype(jnp.int32)
+    nf = jnp.maximum(w_n, 1).astype(dt)
+    delta = mc - tune.w_mean
+    w_mean = jnp.where(do_w, tune.w_mean + delta / nf, tune.w_mean)
+    w_m2 = jnp.where(do_w, tune.w_m2 + delta * (mc - w_mean), tune.w_m2)
+    w_sw = jnp.where(do_w, tune.w_sw + vc, tune.w_sw)
+    at_window = do_w & (w_n >= tune.window)
+    var = w_sw / nf + w_m2 / jnp.maximum(nf - 1.0, 1.0)
+    # Stan-style shrinkage toward 1e-3, weighted by the *effective* sample
+    # count (iterations x chains — cross-chain pooling is why a short
+    # window suffices here)
+    ne = nf * _axis_size(dt)
+    var_reg = (ne / (ne + 5.0)) * var + 1e-3 * (5.0 / (ne + 5.0))
+    minv_new = jnp.where(at_window, var_reg, tune.minv)
+    w_n = jnp.where(at_window, 0, w_n)
+    w_mean = jnp.where(at_window, jnp.zeros_like(w_mean), w_mean)
+    w_m2 = jnp.where(at_window, jnp.zeros_like(w_m2), w_m2)
+    w_sw = jnp.where(at_window, jnp.zeros_like(w_sw), w_sw)
+    # a metric change invalidates the step-size statistics: re-center dual
+    # averaging on the current epsilon so it re-adapts under the new mass
+    Hbar = jnp.where(at_window, 0.0, Hbar)
+    mu_new = jnp.where(at_window, jnp.log(10.0) + log_eps, tune.mu)
+
     new = ChEESTune(
         epsilon=jnp.where(adapt, jnp.exp(log_eps), tune.epsilon),
         epsilonbar=jnp.where(adapt, jnp.exp(log_epsbar), tune.epsilonbar),
         Hbar=jnp.where(adapt, Hbar, tune.Hbar),
-        mu=tune.mu,
+        mu=mu_new,
         m=tune.m + jnp.where(adapt, 1, 0).astype(jnp.int32),
         traj=jnp.where(adapt, new_traj, tune.traj),
         adam_m=jnp.where(adapt, adam_m, tune.adam_m),
         adam_v=jnp.where(adapt, adam_v, tune.adam_v),
-        target=tune.target, max_steps=tune.max_steps, minv=tune.minv)
+        target=tune.target, max_steps=tune.max_steps, minv=minv_new,
+        w_n=w_n, w_mean=w_mean, w_m2=w_m2, w_sw=w_sw, window=tune.window)
     return x2, new
 
 
@@ -202,22 +261,29 @@ class ChEESHMC(SamplerSpec):
     ``ChEESHMC("beta")`` or ``ChEESHMC(["beta", "s2"], target=0.8)``.
     Drop-in replacement for NUTS blocks when running many chains: same
     gradient-based exploration, but every vmapped chain does identical work
-    per iteration."""
+    per iteration.
+
+    ``mass_window > 0`` learns a diagonal inverse mass during warmup from
+    pooled cross-chain statistics (refreshed every that many iterations;
+    lockstep-safe).  ``minv0`` seeds it (e.g. ADVI variational variances);
+    with ``mass_window=0`` the seed is held fixed."""
     transform = True
     needs_grad = True
 
     def __init__(self, params, epsilon=None, traj=None, target=0.75,
-                 max_steps=1024, minv0=None):
+                 max_steps=1024, minv0=None, mass_window: int = 0):
         super().__init__(params)
         self.epsilon = epsilon
         self.traj = traj
         self.target = target
         self.max_steps = max_steps
         self.minv0 = minv0
+        self.mass_window = int(mass_window)
 
     def kernel_init(self, key, x0, logfgrad):
         return chees_init(key, x0, logfgrad, self.epsilon, self.traj,
-                          self.target, self.max_steps, minv0=self.minv0)
+                          self.target, self.max_steps, minv0=self.minv0,
+                          mass_window=self.mass_window)
 
     def kernel_step(self, key, x, tune, logfgrad, adapt):
         return chees_step(key, x, tune, logfgrad, adapt)

@@ -115,3 +115,60 @@ def test_chees_mass_seeded_badly_scaled_gaussian():
     np.testing.assert_allclose(draws.mean(0) / np.sqrt(var), 0.0, atol=0.1)
     # the seeded mass is carried unchanged
     np.testing.assert_allclose(np.asarray(tune.minv)[0], var, rtol=1e-6)
+
+
+def test_chees_mass_window_learns_scale_heterogeneous_gaussian():
+    # VERDICT r2 #3: ChEES must survive a badly-scaled posterior WITHOUT an
+    # ADVI minv0 seed.  Target: independent N(m, diag(1e-4, 1e-2, 1e-1))
+    # (3 decades of scale spread); mass_window adaptation from pooled
+    # cross-chain statistics should learn ~the true variances.
+    from mamba_tpu.samplers.chees import chees_init, chees_step
+
+    var = jnp.array([1e-4, 1e-2, 1e-1])
+    mean = jnp.array([0.3, -1.0, 2.0])
+
+    def logfgrad(x):
+        d = x - mean
+        return -0.5 * jnp.sum(d * d / var), -d / var
+
+    nchains, warm, keep = 64, 600, 600
+
+    def kern_init(key, x0):
+        return chees_init(key, x0, logfgrad, max_steps=128, mass_window=100)
+
+    def sweep(carry, ks):
+        xs, tunes, adapt = carry
+        xs, tunes = jax.vmap(
+            lambda k, x, t: chees_step(k, x, t, logfgrad, adapt),
+            axis_name="chains")(ks, xs, tunes)
+        return (xs, tunes, adapt), xs
+
+    k0, k1 = jax.random.split(jax.random.key(42))
+    x0 = 0.1 * jax.random.normal(k0, (nchains, 3))
+    tunes = jax.vmap(kern_init, axis_name="chains")(
+        jax.random.split(k1, nchains), x0)
+    keys = jax.random.split(jax.random.key(7), warm + keep)
+    wkeys = jax.vmap(jax.random.split, in_axes=(0, None))(keys[:warm], nchains)
+    kkeys = jax.vmap(jax.random.split, in_axes=(0, None))(keys[warm:], nchains)
+
+    @jax.jit
+    def run(x0, tunes):
+        (xs, tunes, _), _ = jax.lax.scan(sweep, (x0, tunes, jnp.asarray(True)),
+                                         wkeys)
+        (xs, tunes, _), draws = jax.lax.scan(
+            sweep, (xs, tunes, jnp.asarray(False)), kkeys)
+        return draws, tunes
+
+    draws, tunes = run(x0, tunes)
+    flat = np.asarray(draws).reshape(-1, 3)
+    # learned mass tracks the true variances within a factor ~2 per coord
+    minv = np.asarray(tunes.minv)
+    assert np.allclose(minv, minv[0]), "minv must stay lockstep-identical"
+    ratio = minv[0] / np.asarray(var)
+    assert (ratio > 0.4).all() and (ratio < 2.5).all(), ratio
+    # and the posterior is recovered across all three scales (errors
+    # standardized by each coordinate's own posterior sd)
+    z_err = (flat.mean(0) - np.asarray(mean)) / np.sqrt(np.asarray(var))
+    assert np.abs(z_err).max() < 0.15, z_err
+    np.testing.assert_allclose(flat.std(0), np.sqrt(np.asarray(var)),
+                               rtol=0.2)

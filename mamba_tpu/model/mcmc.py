@@ -157,7 +157,18 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
         key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
         carry = (key_f, state_f, tunes_f)
-        pieces.append(np.asarray(jax.block_until_ready(r)))
+        r = jax.block_until_ready(r)
+        if not getattr(r, "is_fully_addressable", True):
+            # multi-host run: each process holds only its chain shard;
+            # all-gather the monitored rows on device (reshard to fully
+            # replicated) so every host returns the full Chains array (the
+            # reference gathers worker results over the Distributed
+            # channel, src/model/mcmc.jl:52-58)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(r.sharding.mesh, PartitionSpec())
+            r = jax.jit(lambda a: a, out_shardings=rep)(r)
+            r = jax.block_until_ready(r).addressable_data(0)
+        pieces.append(np.asarray(r))
         if meter is not None:
             meter.update(ck * thin)
     rows = (np.concatenate(pieces, axis=1) if pieces
@@ -273,7 +284,13 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         state0 = shard_chain_tree(state0, mesh, chains, chain_axis, site_specs)
-        keys = shard_chain_tree(keys, mesh, chains, chain_axis)
+        # rebuild the per-chain keys from a *sharded* index array instead of
+        # distributing typed PRNG keys (whose backing data numpy can't see —
+        # matters for multi-process meshes); fold_in gives identical streams
+        # either way
+        idx = shard_chain_tree(np.arange(chains), mesh, chains, chain_axis)
+        keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.key(seed), i)))(idx)
     tunes0 = jax.jit(jax.vmap(init_tunes, axis_name=CHAIN_AXIS))(keys, state0)
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree

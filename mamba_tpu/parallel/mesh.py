@@ -51,16 +51,31 @@ def shard_chain_tree(tree, mesh: Mesh, nchains: int,
     large observation axis.
     """
     site_specs = site_specs or {}
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+
+    def to_sharding(x, sharding):
+        if multiproc:
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array (output of a sharded jit)
+            # every process holds the same full host value (inits/indices are
+            # computed identically everywhere); passing global_shape ==
+            # local shape tells JAX the host data is replicated, so each
+            # process takes just its own shards of it
+            a = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sharding, a, global_shape=a.shape)
+        return jax.device_put(x, sharding)
 
     def put(path, x):
         shape = np.shape(x)
         if not shape or shape[0] != nchains:
-            return jax.device_put(x, NamedSharding(mesh, P()))
+            return to_sharding(x, NamedSharding(mesh, P()))
         name = path[-1].key if path and hasattr(path[-1], "key") else None
         spec = site_specs.get(name)
         if spec is not None and len(tuple(spec)) > len(shape) - 1:
             raise ValueError(f"site spec {spec} too long for shape {shape}")
-        return jax.device_put(x, chain_sharding(mesh, chain_axis, spec))
+        return to_sharding(x, chain_sharding(mesh, chain_axis, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)
 

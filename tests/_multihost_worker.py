@@ -1,0 +1,70 @@
+"""Worker process for the 2-process jax.distributed test
+(tests/test_multihost.py).  Run as:
+
+    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id>
+
+Each process exposes 2 virtual CPU devices; the global mesh spans
+num_procs x 2 devices.  Process 0 prints the posterior summary as one JSON
+line for the parent test to parse.  This is the executable counterpart of
+the reference's `julia -p N` + pmap chain fan-out (src/utils.jl:91-98).
+"""
+
+import json
+import os
+import sys
+
+# the session may pre-load a TPU JAX plugin via sitecustomize at interpreter
+# start (jax already imported before this line), so JAX_PLATFORMS env is
+# ignored — switch via jax.config.  XLA_FLAGS is read lazily at CPU client
+# creation, so setting it here still yields 2 virtual devices.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    from mamba_tpu.parallel import distributed_init, global_mesh
+
+    distributed_init(coordinator_address=coord, num_processes=nproc,
+                     process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    import mamba_tpu as mt
+
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda mu, s2: mt.Normal(mu, jnp.sqrt(s2)),
+                        monitor=False),
+        mu=mt.Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
+        beta=mt.Stochastic(1, lambda: mt.Normal(jnp.zeros(2),
+                                                jnp.sqrt(1000.0))),
+        s2=mt.Stochastic(lambda: mt.InverseGamma(0.001, 0.001)),
+    )
+    model.set_samplers([mt.HMC("beta", 0.1, 10), mt.Slice("s2", 2.0)])
+    X = jnp.stack([jnp.ones(5), jnp.arange(1.0, 6.0)], 1)
+    inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
+             "beta": jnp.zeros(2), "s2": 1.0}
+
+    mesh = global_mesh({"chains": 2 * nproc})
+    sim = mt.mcmc(model, {"xmat": X}, [inits], 600, burnin=200,
+                  chains=4 * nproc, seed=19, verbose=False, mesh=mesh)
+    if pid == 0:
+        s = mt.summarystats(sim).to_dict()
+        print(json.dumps({
+            "beta1": s["beta[1]"]["Mean"], "beta2": s["beta[2]"]["Mean"],
+            "s2": s["s2"]["Mean"], "shape": list(np.asarray(sim.value).shape),
+            "processes": jax.process_count(),
+            "devices": len(jax.devices()),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Multi-host execution: 2 OS processes under jax.distributed, global mesh
+over 4 virtual CPU devices (2 per process), chain-sharded mcmc.
+
+This executes the one code path no single-process test can: real
+``jax.distributed.initialize`` bring-up (``parallel/mesh.py
+distributed_init`` / ``global_mesh``), cross-process GSPMD execution of the
+compiled Gibbs scan, and the multi-host all-gather of monitored rows.
+TPU-native replacement for the reference's user-launched Julia worker
+processes (src/utils.jl:91-98, src/model/mcmc.jl:36-59), which its own CI
+never exercised either (SURVEY.md §4).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "_multihost_worker.py")
+
+
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mcmc_matches_single_process():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    # the worker pins its own platform/device-count flags
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    res = json.loads(outs[0][1].strip().splitlines()[-1])
+    assert res["processes"] == 2 and res["devices"] == 4
+    # all 8 chains' draws gathered on process 0
+    assert res["shape"][2] == 8, res["shape"]
+
+    # statistical parity with the in-process (single-host) engine: same
+    # model, same seed and chain count -> identical chain RNG streams, so
+    # the posterior summaries must agree to fp tolerance, not just MC error
+    import jax.numpy as jnp
+    import mamba_tpu as mt
+
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda mu, s2: mt.Normal(mu, jnp.sqrt(s2)),
+                        monitor=False),
+        mu=mt.Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
+        beta=mt.Stochastic(1, lambda: mt.Normal(jnp.zeros(2),
+                                                jnp.sqrt(1000.0))),
+        s2=mt.Stochastic(lambda: mt.InverseGamma(0.001, 0.001)),
+    )
+    model.set_samplers([mt.HMC("beta", 0.1, 10), mt.Slice("s2", 2.0)])
+    X = jnp.stack([jnp.ones(5), jnp.arange(1.0, 6.0)], 1)
+    inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
+             "beta": jnp.zeros(2), "s2": 1.0}
+    sim = mt.mcmc(model, {"xmat": X}, [inits], 600, burnin=200, chains=8,
+                  seed=19, verbose=False)
+    s = mt.summarystats(sim).to_dict()
+    np.testing.assert_allclose(res["beta1"], s["beta[1]"]["Mean"], rtol=1e-8)
+    np.testing.assert_allclose(res["beta2"], s["beta[2]"]["Mean"], rtol=1e-8)
+    np.testing.assert_allclose(res["s2"], s["s2"]["Mean"], rtol=1e-8)

@@ -38,6 +38,20 @@ CHAINS = 1024
 ITERS = 1000
 BURNIN = 300
 
+#: convergence gates (VERDICT r2 #7): a throughput number only counts if
+#: the chains it came from actually converged and mixed.
+RHAT_MAX = 1.01
+ESS_MIN = 400.0
+
+
+def _gates(sim):
+    """(rhat_max, ess_min) over all monitored params: split-chain
+    rank-normalized R-hat (Vehtari et al. 2021) and bulk ESS."""
+    import numpy as np
+    r = float(np.max(mt.rhat_rank(np.asarray(sim.value))))
+    e = float(np.min(mt.ess_bulk(np.asarray(sim.value))))
+    return r, e
+
 
 def _chees_run(iters, burnin, chains):
     """Secondary metric: same rats posterior under the TPU-first ChEES-HMC
@@ -55,20 +69,24 @@ def _chees_run(iters, burnin, chains):
                   chains=chains, verbose=False)
     warm = time.time() - t0
     s = mt.summarystats(sim).to_dict()
-    ok = bool(abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"]) < 0.1)
-    return chains * iters / warm, warm, ok
+    rhat, ess = _gates(sim)
+    ok = bool(abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"]) < 0.1
+              and rhat < RHAT_MAX and ess > ESS_MIN)
+    return chains * iters / warm, warm, ok, rhat
 
 
-def _glmm_run(chains=1024, iters=100, burnin=40, G=10_000):
+def _glmm_run(chains=1024, iters=300, burnin=150, G=10_000):
     """Stretch config (BASELINE.json configs[5]): 10k-group hierarchical
-    logistic GLMM, 1024 vmapped chains, ADVI warm-start (positions + mass),
+    logistic GLMM, 1024 vmapped chains, ADVI warm-start (positions only),
     plus a roofline measurement of the hot kernel (value_and_grad of the
     10k-dim gradient block density) against v5e HBM/MXU peaks.
 
-    Sampler: ChEES-HMC with the ADVI-seeded diagonal mass — measured 5.6x
-    faster per iteration and 3.2x the ESS/s of mass-seeded NUTS at this
-    scale (docs/perf.md: NUTS's O(max_depth x dim) tree bookkeeping and
-    deepest-tree lockstep dominate above ~1k dims)."""
+    Sampler: ChEES-HMC learning its own diagonal mass from pooled
+    cross-chain warmup statistics (mass_window; VERDICT r2 #3 — no ADVI
+    minv0 seeding).  ChEES over NUTS here: measured 5.6x faster per
+    iteration and 3.2x the ESS/s at this scale (docs/perf.md: NUTS's
+    O(max_depth x dim) tree bookkeeping and deepest-tree lockstep dominate
+    above ~1k dims)."""
     import numpy as np
 
     from mamba_tpu.infer import advi
@@ -78,10 +96,10 @@ def _glmm_run(chains=1024, iters=100, burnin=40, G=10_000):
     import mamba_tpu.samplers as S
 
     # fused=True: the Pallas likelihood+grad kernel (ops/fused_glmm.py) —
-    # 1.28x faster than the generic XLA einsum path at 1024 chains AND it
-    # never materializes the (chains, G, n) logits, which keeps the
-    # leapfrog memory footprint flat.  ADVI runs on the generic build
-    # (same posterior, same sites).
+    # faster than the generic XLA einsum path at 1024 chains AND it
+    # never materializes the (chains, G, n) logit intermediates, which
+    # keeps the leapfrog memory footprint flat.  ADVI runs on the generic
+    # build (same posterior, same sites).
     model, inputs, inits, truth = glmm.build(G, fused=True)
     model_g, inputs_g, inits_g, _ = glmm.build(G, fused=False)
     t0 = time.time()
@@ -91,28 +109,29 @@ def _glmm_run(chains=1024, iters=100, burnin=40, G=10_000):
     draws = {k: np.asarray(v) for k, v in draws.items()}
     warm_inits = [dict(inits[0], **{k: d[i] for k, d in draws.items()})
                   for i in range(chains)]
-    # seed the diagonal inverse mass with q's variational variances — the
-    # 10k-dim block mixes scales from ~1e-4 (beta) to ~1e-1 (b); identity
-    # mass would force tiny steps and maximal trajectories
-    var = res.unconstrained_variances()
     block_params = list(model.samplers[0].params)
-    minv0 = np.concatenate([np.ravel(var[p]) for p in block_params])
-    model.set_samplers([S.ChEESHMC(block_params, minv0=minv0, max_steps=256),
+    # the 10k-dim block mixes scales from ~1e-4 (beta) to ~1e-1 (b):
+    # mass_window learns the metric from cross-chain pooled statistics
+    # during warmup — no external variance seed required
+    model.set_samplers([S.ChEESHMC(block_params, max_steps=256,
+                                   mass_window=40),
                         *model.samplers[1:]])
 
     # small launch chunks: iterations cost ~1 s at this scale and a single
     # multi-minute device launch exceeds the remote-TPU transport's
     # execution window
     kw = dict(iters=iters, burnin=burnin, thin=1, chains=chains,
-              verbose=False, launch_iters=3)
+              verbose=False, launch_iters=10)
     mt.mcmc(model, inputs, warm_inits, **kw)          # compile
     t0 = time.time()
     sim = mt.mcmc(model, inputs, warm_inits, **kw)
     warm = time.time() - t0
     s = mt.summarystats(sim).to_dict()
+    rhat, ess = _gates(sim)
     beta_means = np.array([s[f"beta[{i+1}]"]["Mean"] for i in range(4)])
     ok = bool(np.abs(beta_means - truth["beta"]).max() < 0.05
-              and abs(s["s2"]["Mean"] - truth["s2"]) < 0.1)
+              and abs(s["s2"]["Mean"] - truth["s2"]) < 0.1
+              and rhat < RHAT_MAX and ess > ESS_MIN)
 
     # hot-kernel roofline: one fused logpdf+gradient over all chains
     cm = sim.compiled
@@ -130,6 +149,8 @@ def _glmm_run(chains=1024, iters=100, burnin=40, G=10_000):
         "warm_s": round(warm, 2),
         "ess_per_sec_total": round(sum(v["ESS"] for v in s.values()) / warm, 1),
         "recovery_ok": ok,
+        "rhat_rank_max": round(rhat, 4),
+        "ess_bulk_min": round(ess, 1),
         "grad_kernel": {
             "dim": int(flat.shape[-1]) * chains,
             "us_per_call": round(rf["s_per_call"] * 1e6, 1),
@@ -162,9 +183,11 @@ def main():
     ess_vals = [v["ESS"] for v in s.values()]
     ess_total_s = sum(ess_vals) / warm
     ess_min_s = min(ess_vals) / warm
-    chees_s, chees_warm, chees_ok = _chees_run(ITERS, BURNIN, CHAINS)
+    rhat, ess_bulk_min = _gates(sim)
+    chees_s, chees_warm, chees_ok, chees_rhat = _chees_run(ITERS, BURNIN,
+                                                           CHAINS)
     golden_ok = bool(abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"])
-                     < 0.1)
+                     < 0.1 and rhat < RHAT_MAX and ess_bulk_min > ESS_MIN)
     try:
         glmm_extra = _glmm_run()
     except Exception as e:  # keep the headline metric even if stretch fails
@@ -183,9 +206,12 @@ def main():
             "ess_per_sec_min_param": round(ess_min_s, 1),
             "mu_beta_mean": round(s["mu_beta"]["Mean"], 4),
             "golden_match": golden_ok,
+            "rhat_rank_max": round(rhat, 4),
+            "ess_bulk_min": round(ess_bulk_min, 1),
             "chees_samples_s": round(chees_s, 1),
             "chees_warm_s": round(chees_warm, 2),
             "chees_golden_match": chees_ok,
+            "chees_rhat_rank_max": round(chees_rhat, 4),
             "glmm_10k_stretch": glmm_extra,
         },
     }))

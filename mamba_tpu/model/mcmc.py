@@ -132,6 +132,13 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
         if ("k", rows_n) not in jitted:
             def kept_chunk(key, state, tunes):
                 def kept(c, _):
+                    if thin == 1:
+                        # no inner scan at thin=1: scan->scan->while_loop is
+                        # a three-deep loop nest, which the TPU compiler
+                        # handles pathologically (see samplers/nuts.py
+                        # doubling-unroll note)
+                        c = gibbs_iter(*c, jnp.asarray(False))
+                        return c, pack_monitored(c[1])
                     def inner(c2, _):
                         key, state, tunes = c2
                         return gibbs_iter(key, state, tunes,

@@ -41,6 +41,9 @@ class NUTSTune(NamedTuple):
     m: jax.Array          # int32 adaptation counter
     alpha: jax.Array      # last doubling's accept-stat sum (diagnostics)
     nalpha: jax.Array
+    depth: jax.Array      # tree depth of the last transition (diagnostics;
+                          # under vmap the iteration cost is 2^max(depth)
+                          # over all lockstep chains — see docs/perf.md)
     # dual-averaging constants (arrays so the tune is a uniform scan carry)
     gamma: jax.Array
     kappa: jax.Array
@@ -118,7 +121,7 @@ def nuts_init(key, x0, logfgrad, epsilon=None, target: float = 0.6,
     return NUTSTune(
         epsilon=jnp.asarray(epsilon, dt), epsilonbar=jnp.asarray(1.0, dt),
         Hbar=z, mu=z, m=jnp.asarray(0, jnp.int32), alpha=z,
-        nalpha=jnp.asarray(0, jnp.int32),
+        nalpha=jnp.asarray(0, jnp.int32), depth=jnp.asarray(0, jnp.int32),
         gamma=jnp.asarray(0.05, dt), kappa=jnp.asarray(0.75, dt),
         t0=jnp.asarray(10.0, dt), target=jnp.asarray(target, dt),
         minv=(jnp.ones_like(x0) if minv0 is None
@@ -161,15 +164,32 @@ def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth, minv):
         t = (jnp.dot(dx, vel(r_ck[i])) < 0) | (jnp.dot(dx, vel(r)) < 0)
         inrange = (i >= idx_min) & (i <= idx_max)
         return turned | (t & inrange)
-    return jax.lax.fori_loop(0, max_depth, body, jnp.asarray(False))
+
+    # trace-time unroll (max_depth is static and small): a fori_loop here
+    # nests loops three deep (doubling-while -> subtree-while -> fori) and
+    # with a traced minv referenced in every level the TPU compiler's pass
+    # pipeline goes pathological when further while_loop blocks follow in
+    # the same program (measured v5e: rats NUTS(mass)+3-coord Slice 574 s
+    # -> ~20 s with the unroll).  Runtime also wins: 10 dim-62 dot pairs
+    # beat a device loop's per-trip overhead.
+    turned = jnp.asarray(False)
+    for i in range(max_depth):
+        turned = body(i, turned)
+    return turned
 
 
 def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
-                   x_ck, r_ck, max_depth, dt, minv=None):
+                   x_ck, r_ck, max_depth, dt, minv=None, active=None):
     """Build ``2**j`` leapfrog steps in direction ``pm`` from end state
     (x0, r0, grad0).  Returns the new end state, the subtree's uniform
     proposal, candidate count n', validity s', and accept stats — the same
-    contract as the reference's recursive buildtree (nuts.jl:139-180)."""
+    contract as the reference's recursive buildtree (nuts.jl:139-180).
+
+    ``active`` gates the whole build (used by the unrolled doubling loop in
+    nuts_sub): a chain whose trajectory already terminated starts with
+    sprime=False, so its subtree while_loop exits immediately — under vmap
+    the loop then runs only as long as ANY chain is still building, exactly
+    like the nested-while formulation."""
     nleaf = jnp.left_shift(1, j)
 
     def cond(c):
@@ -213,9 +233,10 @@ def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
         return (leaf + 1, key, x, r, grad, xprop, nprime, logf, sprime,
                 alpha, nalpha, x_ck, r_ck)
 
+    s0 = jnp.asarray(True) if active is None else active
     init = (jnp.asarray(0, jnp.int32), key, x0, r0, grad0, x0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt),
-            jnp.asarray(True), jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
+            s0, jnp.asarray(0.0, dt), jnp.asarray(0, jnp.int32),
             x_ck, r_ck)
     (_, key, x, r, grad, xprop, nprime, _, sprime, alpha, nalpha, x_ck, r_ck
      ) = jax.lax.while_loop(cond, body, init)
@@ -240,12 +261,8 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
     x_ck = jnp.zeros((max_depth, dim), dt)
     r_ck = jnp.zeros((max_depth, dim), dt)
 
-    def cond(c):
-        j, s = c[0], c[10]
-        return s & (j < max_depth)
-
-    def body(c):
-        (j, key, xm, rm, gm, xp, rp, gp, xcur, n, _s, alpha, nalpha) = c
+    def body(j, c):
+        (jdone, key, xm, rm, gm, xp, rp, gp, xcur, n, _s, alpha, nalpha) = c
         key, kd, ka = jax.random.split(key, 3)
         pm = jnp.where(jax.random.uniform(kd, (), dt) > 0.5, 1.0, -1.0).astype(dt)
 
@@ -256,7 +273,7 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
         (key, x_new, r_new, g_new, xprop, nprime, sprime, alpha2, nalpha2
          ) = _build_subtree(key, x_end, r_end, g_end, pm, j, epsilon,
                             logfgrad, logp0, logu0, x_ck, r_ck, max_depth,
-                            dt, minv)
+                            dt, minv, active=_s)
         xm = jnp.where(pm < 0, x_new, xm)
         rm = jnp.where(pm < 0, r_new, rm)
         gm = jnp.where(pm < 0, g_new, gm)
@@ -272,14 +289,34 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
         vm = rm if minv is None else minv * rm
         vp = rp if minv is None else minv * rp
         s = sprime & (jnp.dot(xdiff, vm) >= 0) & (jnp.dot(xdiff, vp) >= 0)
-        return (j + 1, key, xm, rm, gm, xp, rp, gp, xcur, n, s, alpha2, nalpha2)
+        return (jdone + 1, key, xm, rm, gm, xp, rp, gp, xcur, n, s, alpha2,
+                nalpha2)
 
-    init = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
-            jnp.asarray(1, jnp.int32), jnp.asarray(True),
-            jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
-    out = jax.lax.while_loop(cond, body, init)
-    xcur, alpha, nalpha = out[8], out[11], out[12]
-    return xcur, alpha, nalpha
+    # Trace-time unroll of the doubling loop (max_depth is static, 10 by
+    # default) instead of an outer lax.while_loop.  Two reasons:
+    # 1. COMPILE TIME: scan(iterations) -> while(doublings) ->
+    #    while(subtree) is a three-deep loop nest; with a traced diagonal
+    #    mass referenced at every level the TPU compiler's pass pipeline is
+    #    pathological (measured v5e, rats 1024 chains: 574 s cold compile;
+    #    unrolled: ~1 min).  Unrolled, the program is scan -> while —
+    #    sibling subtree loops with *static* per-level leaf counts.
+    # 2. RUNTIME PARITY: under vmap the subtree while_loop already runs
+    #    until every chain's subtree is done, and each level's loop exits
+    #    immediately once all chains have stopped (batched cond), so the
+    #    unrolled levels a stopped iteration never needed cost one select
+    #    each, not leapfrogs.
+    # Per-chain semantics match the while_loop exactly: a stopped chain's
+    # carry (including its RNG key) is frozen by the `s` select below.
+    c = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
+         jnp.asarray(1, jnp.int32), jnp.asarray(True),
+         jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
+    for j in range(max_depth):
+        s = c[10]
+        c_new = body(j, c)
+        c = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(s, new, old), c_new, c)
+    jdone, xcur, alpha, nalpha = c[0], c[8], c[11], c[12]
+    return xcur, alpha, nalpha, jdone
 
 
 def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
@@ -298,8 +335,8 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
 
     use_mass = tune.window > 0
     minv = jnp.where(use_mass, tune.minv, jnp.ones_like(tune.minv))
-    x2, alpha, nalpha = nuts_sub(key, x, eps_used, logfgrad, max_depth,
-                                 minv=minv)
+    x2, alpha, nalpha, depth = nuts_sub(key, x, eps_used, logfgrad,
+                                        max_depth, minv=minv)
 
     # Welford update + windowed inverse-mass refresh (warmup only)
     do_w = adapt & use_mass
@@ -330,7 +367,7 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
         epsilonbar=jnp.where(adapt, epsbar_new, tune.epsilonbar),
         Hbar=jnp.where(adapt, Hbar_new, tune.Hbar),
         mu=mu, m=m, alpha=alpha,
-        nalpha=nalpha, gamma=tune.gamma, kappa=tune.kappa, t0=tune.t0,
+        nalpha=nalpha, depth=depth, gamma=tune.gamma, kappa=tune.kappa, t0=tune.t0,
         target=tune.target, minv=minv_new, w_n=w_n, w_mean=w_mean,
         w_m2=w_m2, window=tune.window)
     return x2, new

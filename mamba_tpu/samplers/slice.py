@@ -60,7 +60,20 @@ def slice_univariate_step(key, x, tune: SliceTune, logf):
             cond, body, (key, x, logf(x), lower, upper))
         return key, x, logf0, lower, upper
 
-    _, x2, _, _, _ = jax.lax.fori_loop(0, n, coord, (key, x, logf(x), lower, upper))
+    carry = (key, x, logf(x), lower, upper)
+    if n <= 16:
+        # Trace-time unroll.  A multi-trip fori_loop whose body contains the
+        # shrinkage while_loop triggers a pathological XLA/Mosaic compile
+        # blowup when composed after another while_loop-heavy block in the
+        # same program (measured on v5e: NUTS + fori(3 coords) > 590 s to
+        # compile vs 4 s unrolled; each block alone ~3 s).  Unrolling n
+        # independent coordinate updates costs linear program size — cheap
+        # for the small variance blocks this form exists for.
+        for i in range(n):
+            carry = coord(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, n, coord, carry)
+    _, x2, _, _, _ = carry
     return x2, None
 
 

@@ -3,9 +3,16 @@
 Two measurements, written to SCALING.json at the repo root:
 
 - ``--mode chip``  (run on the real TPU): single-chip strong/weak scaling —
-  warm sampling throughput of the rats NUTS config at chains in
-  {1, 8, 64, 256, 1024, 4096}.  vmapped chains are *free* until the chip
-  saturates; the curve shows where throughput stops growing linearly.
+  warm sampling throughput of the rats config at chains in
+  {1, 8, 64, 256, 1024, 4096}, for BOTH samplers:
+  * NUTS: vmapped chains run the deepest tree in lockstep, so the
+    per-iteration cost grows with max-over-chains tree depth — the sweep
+    records the depth distribution (``depth_mean``/``depth_max`` of the
+    final iteration) to make that cost visible, plus ESS/s so mixing
+    quality at scale is not hidden by raw samples/s.
+  * ChEES-HMC: identical leapfrog counts on every chain — the lockstep-
+    free alternative this framework recommends at high chain counts; its
+    throughput curve should be monotone to saturation.
 - ``--mode mesh``  (runs anywhere; uses 8 virtual CPU devices): weak
   scaling across a device mesh — same per-device chain count on a
   1-device vs an 8-device mesh.  On virtual devices all shards share the
@@ -32,37 +39,62 @@ ITERS = 500
 BURNIN = 150
 
 
-def _run(mt, rats, chains, mesh=None, iters=ITERS):
+def _build(sampler):
+    import mamba_tpu.samplers as S
+    from mamba_tpu.models import rats
+
     model, inputs, inits = rats.build("nuts")
+    if sampler == "chees":
+        model.set_samplers([S.ChEESHMC(model.samplers[0].params,
+                                       mass_window=50),
+                            *model.samplers[1:]])
+    return model, inputs, inits
+
+
+def _run(mt, sampler, chains, mesh=None, iters=ITERS):
+    import numpy as np
+
+    model, inputs, inits = _build(sampler)
     kw = dict(iters=iters, burnin=BURNIN, thin=1, chains=chains,
               verbose=False, mesh=mesh)
     mt.mcmc(model, inputs, inits, **kw)          # compile
     t0 = time.time()
-    mt.mcmc(model, inputs, inits, **kw)
+    sim = mt.mcmc(model, inputs, inits, **kw)
     dt = time.time() - t0
-    return chains * iters / dt, dt
+    ess_s = float(np.sum(mt.ess_bulk(np.asarray(sim.value)))) / dt
+    row = {"chains": chains, "samples_s": round(chains * iters / dt, 1),
+           "warm_s": round(dt, 2), "ess_s": round(ess_s, 1)}
+    if sampler == "nuts":
+        depth = np.asarray(sim.states["tunes"][0].depth)
+        row["depth_mean"] = round(float(depth.mean()), 2)
+        row["depth_max"] = int(depth.max())
+    return row, dt
 
 
 def mode_chip():
     import jax
 
     import mamba_tpu as mt
-    from mamba_tpu.models import rats
 
     dev = jax.devices()[0]
-    rows = []
-    base = None
-    for chains in (1, 8, 64, 256, 1024, 4096):
-        sps, dt = _run(mt, rats, chains)
-        if base is None:
-            base = sps  # chains=1 throughput
-        rows.append({"chains": chains, "samples_s": round(sps, 1),
-                     "warm_s": round(dt, 2),
-                     "speedup_vs_1": round(sps / base, 1)})
-        print(f"chains={chains:5d}  {sps:12,.0f} samples/s  "
-              f"({dt:.2f}s, x{sps / base:,.1f})")
-    return {"device": str(dev), "iters": ITERS, "burnin": BURNIN,
-            "rows": rows}
+    out = {"device": str(dev), "iters": ITERS, "burnin": BURNIN}
+    for sampler in ("nuts", "chees"):
+        rows = []
+        base = None
+        for chains in (1, 8, 64, 256, 1024, 4096):
+            row, _ = _run(mt, sampler, chains)
+            if base is None:
+                base = row["samples_s"]
+            row["speedup_vs_1"] = round(row["samples_s"] / base, 1)
+            rows.append(row)
+            print(f"{sampler:6s} chains={chains:5d}  "
+                  f"{row['samples_s']:12,.0f} samples/s  "
+                  f"{row['ess_s']:10,.0f} ESS/s  ({row['warm_s']:.2f}s, "
+                  f"x{row['speedup_vs_1']:,.1f})"
+                  + (f"  depth mean {row['depth_mean']} max {row['depth_max']}"
+                     if sampler == "nuts" else ""), flush=True)
+        out[sampler] = rows
+    return out
 
 
 def mode_mesh():
@@ -72,22 +104,23 @@ def mode_mesh():
     jax.config.update("jax_platforms", "cpu")
 
     import mamba_tpu as mt
-    from mamba_tpu.models import rats
     from mamba_tpu.parallel import make_mesh
 
     per_dev = 16
     iters = 300
     m1 = make_mesh({"chains": 1}, jax.devices()[:1])
     m8 = make_mesh({"chains": 8}, jax.devices())
-    sps1, t1 = _run(mt, rats, per_dev, mesh=m1, iters=iters)
-    sps8, t8 = _run(mt, rats, 8 * per_dev, mesh=m8, iters=iters)
+    r1, t1 = _run(mt, "nuts", per_dev, mesh=m1, iters=iters)
+    r8, t8 = _run(mt, "nuts", 8 * per_dev, mesh=m8, iters=iters)
     eff = 100.0 * (8 * t1) / t8      # shared-core ideal is 8x the time
-    print(f"1-dev mesh : {per_dev} chains   {t1:.2f}s  {sps1:,.0f} samples/s")
-    print(f"8-dev mesh : {8 * per_dev} chains  {t8:.2f}s  {sps8:,.0f} samples/s")
+    print(f"1-dev mesh : {per_dev} chains   {t1:.2f}s  "
+          f"{r1['samples_s']:,.0f} samples/s")
+    print(f"8-dev mesh : {8 * per_dev} chains  {t8:.2f}s  "
+          f"{r8['samples_s']:,.0f} samples/s")
     print(f"weak-scaling efficiency (GSPMD overhead proxy): {eff:.1f}%")
     return {"per_device_chains": per_dev, "iters": iters,
             "t_1dev_s": round(t1, 2), "t_8dev_s": round(t8, 2),
-            "samples_s_1dev": round(sps1, 1), "samples_s_8dev": round(sps8, 1),
+            "samples_s_1dev": r1["samples_s"], "samples_s_8dev": r8["samples_s"],
             "weak_scaling_efficiency_pct": round(eff, 1)}
 
 

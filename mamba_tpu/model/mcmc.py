@@ -152,19 +152,39 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
                 jax.vmap(kept_chunk, axis_name=CHAIN_AXIS))
         return jitted[("k", rows_n)]
 
+    from ..utils.timing import device_sync
+
+    t0 = time.time()
     for cw in _chunk_sizes(burnin, launch_iters):
         carry = warm_fn(cw)(*carry)
         if meter is not None:
-            carry = jax.block_until_ready(carry)
+            device_sync(carry[1])
             meter.update(cw)
-    if burnin and meter is None:
-        carry = jax.block_until_ready(carry)
 
-    pieces = []
+    device_pieces = []
     for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
         key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
         carry = (key_f, state_f, tunes_f)
-        r = jax.block_until_ready(r)
+        device_pieces.append(r)
+        if meter is not None:
+            device_sync(r)
+            meter.update(ck * thin)
+    # barrier on the final launch = all sampling compute has executed.
+    # (block_until_ready is NOT a barrier on the tunneled TPU runtime —
+    # utils/timing.py — so sample_s is synced by a scalar fetch instead.)
+    if device_pieces:
+        device_sync(device_pieces[-1])
+    elif burnin:
+        device_sync(carry[1])
+    sample_s = time.time() - t0
+
+    # device->host transfer of the kept draws, reported separately: on the
+    # tunnel this costs ~10 MB/s and would otherwise masquerade as sampling
+    # time (the r02 "1024->4096-chain throughput regression" was exactly
+    # this artifact)
+    t0 = time.time()
+    pieces = []
+    for r in device_pieces:
         if not getattr(r, "is_fully_addressable", True):
             # multi-host run: each process holds only its chain shard;
             # all-gather the monitored rows on device (reshard to fully
@@ -174,13 +194,12 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
             from jax.sharding import NamedSharding, PartitionSpec
             rep = NamedSharding(r.sharding.mesh, PartitionSpec())
             r = jax.jit(lambda a: a, out_shardings=rep)(r)
-            r = jax.block_until_ready(r).addressable_data(0)
+            r = r.addressable_data(0)
         pieces.append(np.asarray(r))
-        if meter is not None:
-            meter.update(ck * thin)
     rows = (np.concatenate(pieces, axis=1) if pieces
             else np.zeros((carry[0].shape[0], 0, 0)))
-    return carry, rows
+    fetch_s = time.time() - t0
+    return carry, rows, {"sample_s": sample_s, "fetch_s": fetch_s}
 
 
 def _build_kernels(cm: CompiledModel):
@@ -287,7 +306,7 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
         meter = ChainProgress(total, chains=chains)
         launch_iters = max(1, min(launch_iters, -(-total // 10)))
 
-    t0 = time.time()
+    t_setup0 = time.time()
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         state0 = shard_chain_tree(state0, mesh, chains, chain_axis, site_specs)
@@ -302,15 +321,17 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
-    carry, rows = _run_chunked(
+    setup_s = time.time() - t_setup0
+    carry, rows, timing = _run_chunked(
         gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,
         thin, meter=meter, launch_iters=launch_iters)
     key_f, state_f, tunes_f = carry
-    elapsed = time.time() - t0
+    timing["setup_s"] = setup_s
     if verbose:
         print(f"MCMC: {chains} chains x {iters} iterations "
-              f"({burnin} burnin, thin {thin}) in {elapsed:.2f}s "
-              f"({chains * iters / max(elapsed, 1e-9):,.0f} chain-iters/s)")
+              f"({burnin} burnin, thin {thin}) in {timing['sample_s']:.2f}s "
+              f"({chains * iters / max(timing['sample_s'], 1e-9):,.0f} "
+              f"chain-iters/s; draw fetch {timing['fetch_s']:.2f}s)")
 
     # rows: (chains, n_kept, npar) -> (n_kept, npar, chains)
     value = np.moveaxis(np.asarray(rows), 0, 2)
@@ -318,7 +339,8 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
         value, start=burnin + thin, thin=thin, names=labels,
         chains=list(range(1, chains + 1)), model=model, compiled=cm,
         states={"key": key_f, "state": state_f, "tunes": tunes_f,
-                "burnin": burnin}, iter=burnin + n_kept * thin)
+                "burnin": burnin}, iter=burnin + n_kept * thin,
+        timing=timing)
 
 
 def _mcmc_restart(mc: ModelChains, iters: int) -> ModelChains:
@@ -344,7 +366,7 @@ def _mcmc_restart(mc: ModelChains, iters: int) -> ModelChains:
         return key, state, tuple(new_tunes)
 
     st = mc.states
-    (key_f, state_f, tunes_f), rows = _run_chunked(
+    (key_f, state_f, tunes_f), rows, timing = _run_chunked(
         gibbs_iter, pack_monitored, (st["key"], st["state"], st["tunes"]),
         0, n_kept, thin)
     value = np.moveaxis(np.asarray(rows), 0, 2)
@@ -352,7 +374,8 @@ def _mcmc_restart(mc: ModelChains, iters: int) -> ModelChains:
         value, start=mc.iter + thin, thin=thin, names=labels,
         chains=mc.chains, model=mc.model, compiled=cm,
         states={"key": key_f, "state": state_f, "tunes": tunes_f,
-                "burnin": st["burnin"]}, iter=mc.iter + n_kept * thin)
+                "burnin": st["burnin"]}, iter=mc.iter + n_kept * thin,
+        timing=timing)
     out = mc.cat_iters(new)
     out.states, out.iter, out.compiled, out.model = new.states, new.iter, cm, mc.model
     return out

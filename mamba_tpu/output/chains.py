@@ -178,13 +178,18 @@ class ModelChains(Chains):
     ``mcmc(mc, iters)`` and model-based stats (dic/predict/logpdf)."""
 
     def __init__(self, value, start=1, thin=1, names=None, chains=None,
-                 model=None, compiled=None, states=None, iter=None):
+                 model=None, compiled=None, states=None, iter=None,
+                 timing=None):
         super().__init__(value, start=start, thin=thin, names=names, chains=chains)
         self.model = model
         self.compiled = compiled
         #: per-chain resume pytree: dict(key=..., state=..., tunes=...)
         self.states = states
         self.iter = iter if iter is not None else self.last()
+        #: wall-clock breakdown of the run that produced these draws:
+        #: sample_s (device compute, queue-drain synced), fetch_s
+        #: (device->host transfer of the kept draws), setup_s
+        self.timing = timing
 
     def _like(self, value, start, thin, names, chains):
         return ModelChains(value, start=start, thin=thin, names=names,

@@ -46,14 +46,17 @@ def block_timer(label: str = "", sink: list | None = None):
     """Wall-clock a block with device synchronization at exit (so async
     dispatch doesn't hide kernel time).  Appends (label, seconds) to
     ``sink`` when given, else prints."""
+    from .timing import device_sync
+
     t0 = time.perf_counter()
     try:
         yield
     finally:
         (jax.effects_barrier if hasattr(jax, "effects_barrier")
          else (lambda: None))()
-        # drain any outstanding device work
-        jax.block_until_ready(jax.numpy.zeros(()))
+        # drain any outstanding device work (a real barrier — see
+        # utils/timing.py for why block_until_ready is not one here)
+        device_sync(jax.numpy.zeros((1,)) + 1.0)
         dt = time.perf_counter() - t0
         if sink is not None:
             sink.append((label, dt))
@@ -62,14 +65,16 @@ def block_timer(label: str = "", sink: list | None = None):
 
 
 def time_compiled(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
-    """Best-effort per-call latency of a jitted function: runs ``warmup``
-    untimed calls (compile + autotune), then ``iters`` timed calls with
-    ``block_until_ready``.  Returns (mean_s, min_s)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
-        times.append(time.perf_counter() - t0)
-    return sum(times) / len(times), min(times)
+    """Per-call latency of a jitted function, measured with a queue-drain
+    barrier (utils/timing.py).  Returns (mean_s, min_s); the two are equal
+    because the barrier is amortized over the whole batch of calls rather
+    than paid per call (per-call round trips cost ~24 ms on the tunneled
+    TPU runtime and would swamp the kernels being measured)."""
+    from .timing import time_compiled as _tc
+
+    if kwargs:
+        f, fargs = (lambda *a: fn(*a, **kwargs)), args
+    else:
+        f, fargs = fn, args
+    s = _tc(f, *fargs, iters=iters, warmup=warmup)
+    return s, s

@@ -16,8 +16,6 @@ runs on (TPU v5e: 197 TFLOP/s bf16 MXU, 819 GB/s HBM).
 
 from __future__ import annotations
 
-import time
-
 import jax
 import numpy as np
 
@@ -60,19 +58,9 @@ def vpu_elementwise_ceiling(n_elems: int = 64 * 1024 * 1024,
     log-density kernels against (ADVICE r2: don't divide VPU FLOPs by the
     MXU peak and call the kernel latency-bound)."""
     import jax.numpy as jnp
+    from .timing import time_chained
     x = jnp.ones((n_elems // 128, 128), jnp.float32)
-
-    @jax.jit
-    def f(x):
-        return jnp.exp(-jnp.abs(x)) + x
-
-    jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    out = x
-    for _ in range(iters):
-        out = f(out)
-    jax.block_until_ready(out)
-    s = (time.perf_counter() - t0) / iters
+    s = time_chained(lambda x: jnp.exp(-jnp.abs(x)) + x, x, iters=iters)
     return {"s_per_call": s, "elems": n_elems,
             "gelems_s": round(n_elems / s / 1e9, 2)}
 
@@ -94,21 +82,18 @@ def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
     Returns keys: s_per_call, flops, bytes, gflops_s, gbytes_s, pct_flops,
     pct_hbm, bound ('memory' | 'compute' | 'latency' | 'unknown').
     """
+    from .timing import time_compiled
     jfn = jax.jit(fn)
     compiled = jfn.lower(*args).compile()
     ca = _cost_analysis(compiled)
     flops = float(ca.get("flops", 0.0) or 0.0)
     nbytes = float(ca.get("bytes accessed", 0.0) or 0.0)
 
+    # queue-drain-synced timing: block_until_ready is NOT a barrier on the
+    # tunneled TPU runtime (see utils/timing.py) — the r02 PERF numbers
+    # measured with it are superseded by these
+    s = time_compiled(compiled, *args, iters=iters, warmup=warmup)
     out = compiled(*args)
-    for _ in range(warmup - 1):
-        out = compiled(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(*args)
-    jax.block_until_ready(out)
-    s = (time.perf_counter() - t0) / iters
 
     peak_f, peak_b = device_peaks(_result_device(out))
     gf = flops / s / 1e9 if flops else 0.0

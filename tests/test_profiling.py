@@ -43,3 +43,34 @@ def test_make_mesh_rejects_bad_shape():
     import pytest
     with pytest.raises(ValueError):
         make_mesh({"chains": 3})  # 8 virtual devices, not divisible
+
+
+def test_device_sync_is_barrier_and_cheap():
+    from mamba_tpu.utils import timing
+
+    # works on pytrees, including non-float leaves
+    tree = {"a": jnp.ones((4, 4)), "b": jnp.arange(3), "k": "not-an-array"}
+    timing.device_sync(tree)
+    assert timing.sync_overhead_s() >= 0
+
+
+def test_time_compiled_and_chained_agree():
+    from mamba_tpu.utils import timing
+
+    f = jax.jit(lambda x: jnp.exp(-jnp.abs(x)) + x)
+    x = jnp.ones((256, 128))
+    s1 = timing.time_compiled(f, x, iters=5)
+    s2 = timing.time_chained(lambda c: jnp.exp(-jnp.abs(c)) + c, x, iters=5)
+    assert s1 > 0 and s2 > 0
+
+
+def test_mcmc_reports_timing_breakdown():
+    import mamba_tpu as mt
+    from mamba_tpu.models import line
+
+    model, inputs, inits = line.build()
+    sim = mt.mcmc(model, inputs, inits, iters=50, burnin=20, chains=2,
+                  verbose=False)
+    t = sim.timing
+    assert t is not None
+    assert t["sample_s"] > 0 and t["fetch_s"] >= 0 and t["setup_s"] >= 0

@@ -13,9 +13,15 @@ log-likelihood AND both gradients in ONE pass with everything resident in
 VMEM: per call it reads Xt (shared across chains) and (y, b) once, writes
 (lp, grad_beta, grad_b) once, and never materializes logits off-chip.
 
-Layout: the group axis G lives on the 128-wide lane dimension (Xt is
-(P, n, G), y is (n, G)) so every op is a well-tiled VPU pass; G is padded
-to a lane multiple and the pad lanes are masked in-kernel.
+Layout: dense-flat — per (chain-block, group-chunk) grid cell every array
+is (Cb, n*Gc) with the n observation rows concatenated along the 128-wide
+lane axis, so each elementwise pass runs at 100% (8, 128)-tile utilization
+across all Cb chains at once; lp/gbeta accumulate across group chunks in
+VMEM (matmul-style grid accumulation) and gbeta's contraction rides the
+MXU.  Pad lanes are zero-filled rather than masked (their exact -log 2
+log-density bias is corrected statically).  Measured at the stretch config
+(1024 chains x 10 obs x 10k groups, v5e): 0.99 ms/call vs 2.40 ms for the
+r02 chain-unrolled layout and 2.92 ms for plain XLA — see KERNEL_LAB.json.
 
 Exposed as ``bernoulli_logit_glmm_loglik(Xt, y, beta, b) -> scalar`` with a
 ``jax.custom_vjp`` whose forward already holds the gradients — NUTS's
@@ -47,111 +53,158 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(G: int, Xt_ref, y_ref, beta_ref, b_ref,
+def _kernel(n: int, Gc: int, Xt_ref, y_ref, beta_ref, b_ref,
             lp_ref, gbeta_ref, gb_ref):
-    """One chain-block: Cb chains against the (VMEM-resident) Xt and y.
-    Cb is the leading dim of beta/b/out refs; the P and Cb loops are tiny
-    static unrolls — every array op is a full (n, Gp) VPU pass with the
-    group axis on lanes."""
-    P, n, Gp = Xt_ref.shape
-    Cb = b_ref.shape[0]
-    y = y_ref[:]
-    mask = jax.lax.broadcasted_iota(jnp.int32, (n, Gp), 1) < G
+    """One (chain-block, group-chunk) grid cell in the dense-flat layout.
 
-    def body(c, carry):
-        l = jnp.broadcast_to(b_ref[pl.ds(c, 1), :], (n, Gp))
-        for p in range(P):
-            l = l + beta_ref[c, p] * Xt_ref[p]
-        # log Bernoulli(sigmoid(l)) = y*l - softplus(l), sharing ONE
-        # exponential between softplus and sigmoid:
-        #   e = exp(-|l|); softplus(l) = max(l,0) + log1p(e)
-        #   sigmoid(l) = 1/(1+e) if l>=0 else e/(1+e)
-        e = jnp.exp(-jnp.abs(l))
-        softplus = jnp.maximum(l, 0.0) + jnp.log1p(e)
-        recip = 1.0 / (1.0 + e)
-        sig = jnp.where(l >= 0, recip, e * recip)
-        term = y * l - softplus
-        lp_ref[c, 0] = jnp.sum(jnp.where(mask, term, 0.0))
-        r = jnp.where(mask, y - sig, 0.0)                 # d lp / d l
-        gb_ref[pl.ds(c, 1), :] = jnp.sum(r, axis=0, keepdims=True)
-        for p in range(P):
-            gbeta_ref[c, p] = jnp.sum(r * Xt_ref[p])
-        return carry
+    Every array is (Cb, Nc) with Nc = n*Gc — the n observation rows of
+    this group chunk are concatenated along the LANE axis, so every
+    elementwise pass runs at 100% (8, 128)-tile utilization and covers all
+    Cb chains at once.  (The r02 kernel kept (n=10, Gc) 2-D tiles — 37.5%
+    sublane-pad waste — and unrolled chains into Cb separate narrow
+    passes: measured 2.40 ms vs 0.99 ms for the same math at the stretch
+    config.)  lp and gbeta accumulate across the group-chunk grid axis j
+    in their VMEM-resident output blocks, matmul-style.
 
-    # Python unroll: Cb independent chains' passes interleave (ILP).
-    # A fori_loop would halve VMEM pressure but serializes the chains:
-    # measured 6.8 ms vs 4.1 ms per 1024-chain grad at G=10k.
-    for c in range(Cb):
-        body(c, 0)
+    Pad lanes carry ZEROED Xt/y/b (caller contract), so they need no mask:
+    each contributes exactly ``-log 2`` to lp (corrected statically by the
+    caller) and exactly zero to both gradients (r = 0.5 there, but its
+    gbeta contribution multiplies the zeroed Xt, and pad lanes of gb are
+    sliced off).  Dropping the in-kernel mask removed 4 of ~17 VPU passes.
+    """
+    j = pl.program_id(1)
+    P = Xt_ref.shape[1]
+    b = b_ref[:]
+    y = y_ref[0]
+    Xf = Xt_ref[0]                                # (P, Nc)
+    l = jnp.concatenate([b] * n, axis=1)          # b[c, g] at every (i, g)
+    for p in range(P):
+        l = l + beta_ref[:, p:p + 1] * Xf[p:p + 1, :]
+    # log Bernoulli(sigmoid(l)) = y*l - softplus(l), sharing ONE
+    # exponential between softplus and sigmoid:
+    #   e = exp(-|l|); softplus(l) = max(l,0) + log1p(e)
+    #   sigmoid(l) = q = 1/(1+e) if l>=0 else 1-q
+    e = jnp.exp(-jnp.abs(l))
+    softplus = jnp.maximum(l, 0.0) + jnp.log1p(e)
+    q = 1.0 / (1.0 + e)
+    sig = jnp.where(l >= 0, q, 1.0 - q)
+    term = y * l - softplus
+    lp_c = jnp.sum(term, axis=1, keepdims=True)
+    r = y - sig                                   # d lp / d l
+    gb = r[:, :Gc]
+    for i in range(1, n):
+        gb = gb + r[:, i * Gc:(i + 1) * Gc]
+    gb_ref[:] = gb
+    # gbeta on the MXU at its native (bf16-product) precision, freeing P
+    # mul+reduce VPU passes.  A deterministic ~1e-3-relative gradient
+    # perturbation is statistically safe: leapfrog with ANY deterministic
+    # gradient field remains volume-preserving (shear updates) and
+    # reversible, and the MH accept uses the exact f32 log-density — so
+    # the stationary distribution is untouched; only proposal quality
+    # shifts, immeasurably.  (f32-exact MXU via Precision.HIGHEST costs
+    # 6 passes and was measured SLOWER than the VPU at 1.9 ms.)
+    gbeta_c = jax.lax.dot_general(r, Xf, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=r.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        lp_ref[:] = lp_c
+        gbeta_ref[:] = gbeta_c
+
+    @pl.when(j > 0)
+    def _acc():
+        lp_ref[:] = lp_ref[:] + lp_c
+        gbeta_ref[:] = gbeta_ref[:] + gbeta_c
 
 
-#: chains per grid step.  One chain per step makes the per-step overhead
-#: and the Xt/y re-fetch dominate; 8 amortizes both and the unrolled
-#: block sits just inside the 16 MB VMEM budget at G=10k.  (Callers whose
-#: traces push VMEM over the cliff — seen once under ADVI's ELBO — should
-#: use the generic likelihood for that phase instead.)
-CHAIN_BLOCK = 8
+#: chains per grid step (first grid axis).  Swept at the stretch config
+#: (C=1024, G=10k): 8 -> 1.63 ms, 64 -> 1.03 ms, 128 -> 0.99 ms; VMEM per
+#: temp at (128, n*512) f32 is 2.6 MB, safely under the 16 MB budget
+#: because block sizes no longer grow with G.  Shrunk automatically for
+#: small batches (``_pick_cb``).
+CHAIN_BLOCK = 128
+
+#: group lanes per grid step (second grid axis).  The kernel streams
+#: (P+2)*n*Gc*4-byte chunks of Xt/y per step; 512 lanes keeps ~6 live
+#: (Cb, n*Gc) temporaries inside VMEM at Cb=128 and measured flat
+#: 128..1024 (0.93-1.05 ms), so the conservative end wins.
+G_LANE_BLOCK = 512
 
 
-#: max group-lanes per kernel call.  The unrolled chain block keeps
-#: ~7 live (n, G_chunk) temporaries per chain; 4096 lanes x 8 chains
-#: ~ 10 MB, safely inside the 16 MB VMEM budget (a full 10k-group call
-#: sat at 17-18 MB — over the cliff on some traces).
-MAX_G_LANES = 4096
+def _pick_cb(C: int) -> int:
+    """Largest sublane-aligned chain block <= CHAIN_BLOCK covering C."""
+    return CHAIN_BLOCK if C >= CHAIN_BLOCK else -(-C // 8) * 8
 
 
-@functools.partial(jax.jit, static_argnames=("G",))
-def _fused_call_batched(Xt, y, betas, bs, *, G: int):
-    """betas: (C, P), bs: (C, Gp) with C a multiple of CHAIN_BLOCK.
-    Large group axes are processed in MAX_G_LANES chunks (one kernel call
-    each; partial results reduce outside)."""
+@functools.partial(jax.jit, static_argnames=("G", "chain_block", "g_lanes"))
+def _fused_call_batched(Xt, y, betas, bs, *, G: int,
+                        chain_block: int | None = None,
+                        g_lanes: int | None = None):
+    """betas: (C, P), bs: (C, Gp) with C a multiple of the chain block.
+
+    ONE pallas_call over a (chain-blocks, group-chunks) grid; lp/gbeta
+    accumulate across the chunk axis in VMEM.  Contract: lanes >= G of
+    Xt, y and bs are ZERO (jnp.pad guarantees this for all callers here);
+    the pad lanes' -log(2) log-density bias is corrected statically below.
+    """
+    Cb = _pick_cb(bs.shape[0]) if chain_block is None else chain_block
+    Gc = G_LANE_BLOCK if g_lanes is None else g_lanes
     P, n, Gp = Xt.shape
-    if Gp > MAX_G_LANES:
-        lp_t, gbeta_t, gbs = 0.0, 0.0, []
-        for off in range(0, Gp, MAX_G_LANES):
-            end = min(off + MAX_G_LANES, Gp)
-            Gc = max(0, min(G - off, end - off))
-            lp, gbeta, gb = _fused_call_batched(
-                Xt[:, :, off:end], y[:, off:end], betas, bs[:, off:end],
-                G=Gc)
-            lp_t, gbeta_t = lp_t + lp, gbeta_t + gbeta
-            gbs.append(gb)
-        return lp_t, gbeta_t, jnp.concatenate(gbs, axis=1)
     C = bs.shape[0]
-    Cb = CHAIN_BLOCK
     dt = bs.dtype
-    full = lambda *_idx: (0, 0)          # Xt/y: same block every step
-    full3 = lambda *_idx: (0, 0, 0)
-    blk = lambda i: (i, 0)               # chain-block row i
+    pad = (-Gp) % Gc
+    if pad:
+        Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+        bs = jnp.pad(bs, ((0, 0), (0, pad)))
+    Gpp = Gp + pad
+    nch = Gpp // Gc
+    # group-chunk-major relayout (one cheap XLA transpose of the small
+    # constant arrays) so each grid step's (P, n*Gc) slice is contiguous
+    Xtc = Xt.reshape(P, n, nch, Gc).transpose(2, 0, 1, 3).reshape(
+        nch, P, n * Gc)
+    yc = y.reshape(n, nch, Gc).transpose(1, 0, 2).reshape(nch, 1, n * Gc)
     lp, gbeta, gb = pl.pallas_call(
-        functools.partial(_kernel, G),
-        grid=(C // Cb,),
+        functools.partial(_kernel, n, Gc),
+        grid=(C // Cb, nch),
         out_shape=(
             jax.ShapeDtypeStruct((C, 1), dt),
             jax.ShapeDtypeStruct((C, P), dt),
-            jax.ShapeDtypeStruct((C, Gp), dt),
+            jax.ShapeDtypeStruct((C, Gpp), dt),
         ),
         in_specs=[
-            pl.BlockSpec((P, n, Gp), full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, Gp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cb, P), blk, memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cb, Gp), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, n * Gc), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n * Gc), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cb, P), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cb, Gc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((Cb, 1), blk, memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cb, P), blk, memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cb, Gp), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cb, P), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cb, Gc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(Xt, y, betas, bs)
-    return lp[:, 0], gbeta, gb
+    )(Xtc, yc, betas, bs)
+    # zeroed pad lanes contribute exactly -log(2) each to lp
+    lp = lp[:, 0] + jnp.asarray(n * (Gpp - G) * np.log(2.0), dt)
+    return lp, gbeta, gb[:, :Gp]
 
 
 def _fused_call(Xt, y, beta, b, *, G: int):
+    cb = _pick_cb(1)
     lp, gbeta, gb = _fused_call_batched(
         Xt, y,
-        jnp.pad(beta[None], ((0, CHAIN_BLOCK - 1), (0, 0))),
-        jnp.pad(b[None], ((0, CHAIN_BLOCK - 1), (0, 0))), G=G)
+        jnp.pad(beta[None], ((0, cb - 1), (0, 0))),
+        jnp.pad(b[None], ((0, cb - 1), (0, 0))), G=G)
     return lp[0], gbeta[0], gb[0]
 
 
@@ -216,7 +269,8 @@ def _fwd_parts_vmap_rule(axis_size, in_batched, Xt, y, beta, b):
     if not b_b:
         b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
     C, G = b.shape
-    Cp = -(-C // CHAIN_BLOCK) * CHAIN_BLOCK
+    cb = _pick_cb(C)
+    Cp = -(-C // cb) * cb
     betas = jnp.pad(beta, ((0, Cp - C), (0, 0)))
     bs = _pad_lanes(jnp.pad(b, ((0, Cp - C), (0, 0))), 1)
     lp, gbeta, gb = _fused_call_batched(_pad_lanes(Xt, 2), _pad_lanes(y, 1),

@@ -1,14 +1,20 @@
-"""Fused-GLMM kernel lab: measure the real ceiling and candidate layouts.
+"""Fused-GLMM kernel lab: honest floor analysis for the hot kernel.
 
-VERDICT r2 #1 says the shipped kernel runs at 27% of HBM peak.  Byte
-accounting says otherwise: minimum true traffic per 1024-chain grad call is
-~86 MB (b in + gb out dominate) = ~105 us at 819 GB/s, yet the kernel takes
-~4 ms — it is **VPU-compute-bound**, not memory-bound (the 27% figure
-divides XLA's naive per-grid-step byte count by wall time).  This lab
-measures: (a) an empirical elementwise ceiling (same element count, minimal
-transcendental math), (b) the shipped kernel, (c) a dense-flat relayout
-that lifts sublane-tile utilization from 62.5% (n=10 -> 16 rows) to 100%,
-(d) bf16 compute with f32 accumulation.
+All timings use the queue-drain barrier (utils/timing.py) — r02's numbers
+were measured with ``block_until_ready``, which is not a barrier on this
+runtime, so this lab re-establishes ground truth before optimizing.
+
+Measured, at the GLMM stretch config (C=1024 chains, P=4, n=10, G=10k):
+
+- ``exp_pass``        — empirical fp32 VPU elementwise ceiling over the same
+                        element count the kernel touches (C*n*Gp).
+- ``copy_pass``       — empirical HBM bandwidth ceiling (read+write).
+- ``shipped_f32``     — the fused Pallas value+grad kernel as shipped.
+- ``xla_generic_f32`` — vmapped ``value_and_grad`` of the plain-XLA formula
+                        (the A/B baseline the engine uses when fused=False).
+- ``xla_generic_bf16``— same with bf16 logits/intermediates, f32 accumulation
+                        (VERDICT r2 task 6: measured bf16 go/no-go).
+- ``floor``           — byte-accounting traffic floor and VPU-pass floor.
 
 Writes KERNEL_LAB.json at the repo root; docs/perf.md summarizes.
 """
@@ -16,7 +22,6 @@ Writes KERNEL_LAB.json at the repo root; docs/perf.md summarizes.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,57 +44,77 @@ def _data(dtype=jnp.float32):
     return Xt, y, betas, bs
 
 
-def timeit(f, *args, iters=30):
-    out = jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def run():
     from mamba_tpu.ops import fused_glmm as FG
-    from mamba_tpu.utils.roofline import vpu_elementwise_ceiling
+    from mamba_tpu.utils.timing import time_chained, time_compiled
+    from mamba_tpu.utils.roofline import device_peaks
 
+    peak_f, peak_b = device_peaks()
     results = {"config": {"C": C, "P": P, "n": n, "G": G},
-               "device": str(jax.devices()[0])}
+               "device": str(jax.devices()[0]),
+               "timing": "queue-drain barrier (utils/timing.py)"}
 
-    # (a) elementwise ceiling: one exp+mul+add pass over the same number of
-    # elements the kernel touches (C*n*GP), ideal layout
+    # --- empirical ceilings -------------------------------------------------
     elems = C * n * GP
     x = jnp.ones((elems // 128, 128), jnp.float32)
-
-    @jax.jit
-    def expapass(x):
-        return jnp.exp(-jnp.abs(x)) * 0.5 + x
-
-    s = timeit(expapass, x)
+    s = time_chained(lambda x: jnp.exp(-jnp.abs(x)) * 0.5 + x, x, iters=20)
     results["exp_pass"] = {"us": round(s * 1e6, 1),
                            "gelems_s": round(elems / s / 1e9, 2)}
+    s = time_chained(lambda x: x * 1.0001 + 1.0, x, iters=20)
+    results["copy_pass"] = {"us": round(s * 1e6, 1),
+                            "gbytes_s": round(2 * x.nbytes / s / 1e9, 1)}
 
-    # (b) the shipped kernel (value+both grads, f32)
+    # --- byte-accounting floor ---------------------------------------------
+    f32 = 4
+    in_bytes = (P * n * GP + n * GP + C * P + C * GP) * f32
+    out_bytes = (C + C * P + C * GP) * f32
+    floor_us = (in_bytes + out_bytes) / (peak_b or 819e9) * 1e6
+    results["floor"] = {
+        "hbm_bytes": in_bytes + out_bytes,
+        "hbm_floor_us_at_peak": round(floor_us, 1),
+        "note": "Xt/y once + per-chain (beta,b) in, (lp,gbeta,gb) out",
+    }
+
+    # --- the shipped fused kernel -------------------------------------------
     Xt, y, betas, bs = _data()
 
-    @jax.jit
     def shipped(Xt, y, betas, bs):
         return FG._fused_call_batched(Xt, y, betas, bs, G=G)
 
-    s = timeit(shipped, Xt, y, betas, bs)
-    results["shipped_f32"] = {"us": round(s * 1e6, 1)}
+    jf = jax.jit(shipped)
+    s = time_compiled(jf, Xt, y, betas, bs, iters=30)
+    results["shipped_f32"] = {
+        "us": round(s * 1e6, 1),
+        "gbytes_s_vs_floor": round((in_bytes + out_bytes) / s / 1e9, 1),
+    }
 
-    # (c) generic XLA A/B (value_and_grad of the reference formula, vmapped)
-    @jax.jit
-    def xla_ab(Xt, y, betas, bs):
-        def one(beta, b):
-            return jax.value_and_grad(
-                lambda be, bb: FG.reference_loglik(Xt[:, :, :G], y[:, :G],
-                                                   be, bb[:G]),
-                argnums=(0, 1))(beta, b)
-        return jax.vmap(one)(betas, bs)
+    # --- generic XLA A/B, f32 and bf16-compute ------------------------------
+    def make_xla(compute_dtype):
+        def one(Xt, y, beta, b):
+            def lp(be, bb):
+                Xc = Xt[:, :, :G].astype(compute_dtype)
+                l = jnp.einsum("pig,p->ig", Xc, be.astype(compute_dtype))
+                l = l + bb[:G].astype(compute_dtype)[None, :]
+                t = (y[:, :G] * l.astype(jnp.float32)
+                     - jax.nn.softplus(l).astype(jnp.float32))
+                return jnp.sum(t)
+            return jax.value_and_grad(lp, argnums=(0, 1))(beta, b)
+        return jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)))
 
-    s = timeit(xla_ab, Xt, y, betas, bs)
-    results["xla_generic"] = {"us": round(s * 1e6, 1)}
+    for name, dt in (("xla_generic_f32", jnp.float32),
+                     ("xla_generic_bf16", jnp.bfloat16)):
+        f = make_xla(dt)
+        s = time_compiled(f, Xt, y, betas, bs, iters=30)
+        results[name] = {"us": round(s * 1e6, 1)}
+
+    # numerical check of the bf16 path against f32 (max rel error on grads)
+    vf = make_xla(jnp.float32)(Xt, y, betas, bs)
+    vb = make_xla(jnp.bfloat16)(Xt, y, betas, bs)
+    rel = float(jnp.max(jnp.abs((vb[0] - vf[0]) / vf[0])))
+    grel = float(jnp.max(jnp.abs(vb[1][0] - vf[1][0])
+                         / (jnp.abs(vf[1][0]) + 1e-3)))
+    results["bf16_vs_f32"] = {"lp_max_rel_err": round(rel, 5),
+                              "gbeta_max_rel_err": round(grel, 5)}
 
     print(json.dumps(results, indent=1))
     with open(os.path.join(ROOT, "KERNEL_LAB.json"), "w") as f:

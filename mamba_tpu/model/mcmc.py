@@ -100,8 +100,13 @@ def _chunk_sizes(total: int, max_chunk: int) -> list:
     return [base + 1] * rem + [base] * (n - rem)
 
 
+#: default cap on device-resident kept-draw bytes before an early drain to
+#: host (see _run_chunked); override with MAMBA_TPU_KEPT_BUFFER_BYTES.
+_KEPT_BUFFER_BYTES = 2 * 1024**3
+
+
 def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
-                 *, meter=None, launch_iters=2000):
+                 *, meter=None, launch_iters=2000, max_live_bytes=None):
     """Execute the warmup + sampling scans as a sequence of bounded device
     launches.
 
@@ -113,6 +118,10 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     per phase (the reference instead loops per-iteration on the host,
     src/model/mcmc.jl:62-83).  ``meter`` is a ChainProgress updated per
     launch (reference wires its meter at mcmc.jl:73-80)."""
+    import os
+    if max_live_bytes is None:
+        max_live_bytes = int(os.environ.get(
+            "MAMBA_TPU_KEPT_BUFFER_BYTES", _KEPT_BUFFER_BYTES))
     jitted = {}
 
     def warm_fn(length):
@@ -154,37 +163,7 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
 
     from ..utils.timing import device_sync
 
-    t0 = time.time()
-    for cw in _chunk_sizes(burnin, launch_iters):
-        carry = warm_fn(cw)(*carry)
-        if meter is not None:
-            device_sync(carry[1])
-            meter.update(cw)
-
-    device_pieces = []
-    for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
-        key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
-        carry = (key_f, state_f, tunes_f)
-        device_pieces.append(r)
-        if meter is not None:
-            device_sync(r)
-            meter.update(ck * thin)
-    # barrier on the final launch = all sampling compute has executed.
-    # (block_until_ready is NOT a barrier on the tunneled TPU runtime —
-    # utils/timing.py — so sample_s is synced by a scalar fetch instead.)
-    if device_pieces:
-        device_sync(device_pieces[-1])
-    elif burnin:
-        device_sync(carry[1])
-    sample_s = time.time() - t0
-
-    # device->host transfer of the kept draws, reported separately: on the
-    # tunnel this costs ~10 MB/s and would otherwise masquerade as sampling
-    # time (the r02 "1024->4096-chain throughput regression" was exactly
-    # this artifact)
-    t0 = time.time()
-    pieces = []
-    for r in device_pieces:
+    def _to_host(r):
         if not getattr(r, "is_fully_addressable", True):
             # multi-host run: each process holds only its chain shard;
             # all-gather the monitored rows on device (reshard to fully
@@ -195,10 +174,64 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
             rep = NamedSharding(r.sharding.mesh, PartitionSpec())
             r = jax.jit(lambda a: a, out_shardings=rep)(r)
             r = r.addressable_data(0)
-        pieces.append(np.asarray(r))
-    rows = (np.concatenate(pieces, axis=1) if pieces
+        return np.asarray(r)
+
+    t0 = time.time()
+    for cw in _chunk_sizes(burnin, launch_iters):
+        carry = warm_fn(cw)(*carry)
+        if meter is not None:
+            device_sync(carry[1])
+            meter.update(cw)
+
+    # Kept-draw chunks stay resident on device so sample_s can be split from
+    # fetch_s, but residency is capped by a byte budget: a long run
+    # monitoring large sites would otherwise accumulate chains*n_kept*npar
+    # on-device and OOM mid-run (r3 advisor finding).  When the cap is hit,
+    # completed chunks are drained to host early; the drain's transfer time
+    # is excluded from sample_s and accumulated into fetch_s.
+    device_pieces, host_pieces = [], []
+    resident = 0
+    fetch_acc = 0.0
+
+    def drain():
+        nonlocal resident, fetch_acc
+        if not device_pieces:
+            return
+        device_sync(device_pieces[-1])  # compute barrier: sampling time
+        tf = time.time()
+        host_pieces.extend(_to_host(r) for r in device_pieces)
+        fetch_acc += time.time() - tf
+        device_pieces.clear()
+        resident = 0
+
+    for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
+        key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
+        carry = (key_f, state_f, tunes_f)
+        device_pieces.append(r)
+        resident += int(np.prod(r.shape)) * r.dtype.itemsize
+        if meter is not None:
+            device_sync(r)
+            meter.update(ck * thin)
+        if resident > max_live_bytes:
+            drain()
+    # barrier on the final launch = all sampling compute has executed.
+    # (block_until_ready is NOT a barrier on the tunneled TPU runtime —
+    # utils/timing.py — so sample_s is synced by a scalar fetch instead.)
+    if device_pieces:
+        device_sync(device_pieces[-1])
+    elif not host_pieces and burnin:
+        device_sync(carry[1])
+    sample_s = time.time() - t0 - fetch_acc
+
+    # device->host transfer of the kept draws, reported separately: on the
+    # tunnel this costs ~10 MB/s and would otherwise masquerade as sampling
+    # time (the r02 "1024->4096-chain throughput regression" was exactly
+    # this artifact)
+    t0 = time.time()
+    host_pieces.extend(_to_host(r) for r in device_pieces)
+    rows = (np.concatenate(host_pieces, axis=1) if host_pieces
             else np.zeros((carry[0].shape[0], 0, 0)))
-    fetch_s = time.time() - t0
+    fetch_s = fetch_acc + (time.time() - t0)
     return carry, rows, {"sample_s": sample_s, "fetch_s": fetch_s}
 
 

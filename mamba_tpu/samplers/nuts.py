@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.backend import unroll_loops
 from .base import SamplerSpec
 
 
@@ -165,17 +166,20 @@ def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth, minv):
         inrange = (i >= idx_min) & (i <= idx_max)
         return turned | (t & inrange)
 
-    # trace-time unroll (max_depth is static and small): a fori_loop here
-    # nests loops three deep (doubling-while -> subtree-while -> fori) and
+    # Trace-time unroll (max_depth is static and small): on TPU a fori_loop
+    # here nests loops three deep (doubling -> subtree-while -> fori) and
     # with a traced minv referenced in every level the TPU compiler's pass
     # pipeline goes pathological when further while_loop blocks follow in
     # the same program (measured v5e: rats NUTS(mass)+3-coord Slice 574 s
     # -> ~20 s with the unroll).  Runtime also wins: 10 dim-62 dot pairs
-    # beat a device loop's per-trip overhead.
-    turned = jnp.asarray(False)
-    for i in range(max_depth):
-        turned = body(i, turned)
-    return turned
+    # beat a device loop's per-trip overhead.  The CPU/GSPMD backend
+    # handles the fori_loop fine (utils/backend.py).
+    if unroll_loops():
+        turned = jnp.asarray(False)
+        for i in range(max_depth):
+            turned = body(i, turned)
+        return turned
+    return jax.lax.fori_loop(0, max_depth, body, jnp.asarray(False))
 
 
 def _build_subtree(key, x0, r0, grad0, pm, j, eps, logfgrad, logp0, logu0,
@@ -292,8 +296,10 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
         return (jdone + 1, key, xm, rm, gm, xp, rp, gp, xcur, n, s, alpha2,
                 nalpha2)
 
-    # Trace-time unroll of the doubling loop (max_depth is static, 10 by
-    # default) instead of an outer lax.while_loop.  Two reasons:
+    # Formulation of the doubling loop is backend-selected
+    # (utils/backend.py):
+    #
+    # TPU — trace-time unroll (max_depth is static, 10 by default):
     # 1. COMPILE TIME: scan(iterations) -> while(doublings) ->
     #    while(subtree) is a three-deep loop nest; with a traced diagonal
     #    mass referenced at every level the TPU compiler's pass pipeline is
@@ -307,14 +313,31 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
     #    each, not leapfrogs.
     # Per-chain semantics match the while_loop exactly: a stopped chain's
     # carry (including its RNG key) is frozen by the `s` select below.
-    c = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
-         jnp.asarray(1, jnp.int32), jnp.asarray(True),
-         jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
-    for j in range(max_depth):
-        s = c[10]
-        c_new = body(j, c)
-        c = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(s, new, old), c_new, c)
+    #
+    # CPU/GSPMD — outer lax.while_loop: the unrolled program's 10 sibling
+    # subtree loops, each touching the (potentially sharded) checkpoint
+    # buffers, regress the 8-device GSPMD/CPU compile >200x (11 s ->
+    # 35+ min, round-3 verdict).  The nested form compiles in seconds
+    # there.  Both formulations are bit-identical on kept samples
+    # (f540c10 A/B; enforced by tests/test_samplers.py).
+    c0 = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
+          jnp.asarray(1, jnp.int32), jnp.asarray(True),
+          jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
+    if unroll_loops():
+        c = c0
+        for j in range(max_depth):
+            s = c[10]
+            c_new = body(j, c)
+            c = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(s, new, old), c_new, c)
+    else:
+        def cond(c):
+            return c[10] & (c[0] < max_depth)
+
+        def wbody(c):
+            return body(c[0], c)
+
+        c = jax.lax.while_loop(cond, wbody, c0)
     jdone, xcur, alpha, nalpha = c[0], c[8], c[11], c[12]
     return xcur, alpha, nalpha, jdone
 

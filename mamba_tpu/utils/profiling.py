@@ -65,16 +65,15 @@ def block_timer(label: str = "", sink: list | None = None):
 
 
 def time_compiled(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
-    """Per-call latency of a jitted function, measured with a queue-drain
-    barrier (utils/timing.py).  Returns (mean_s, min_s); the two are equal
-    because the barrier is amortized over the whole batch of calls rather
-    than paid per call (per-call round trips cost ~24 ms on the tunneled
-    TPU runtime and would swamp the kernels being measured)."""
+    """Per-call latency (seconds) of a jitted function, measured with a
+    queue-drain barrier (utils/timing.py).  One scalar: the barrier is
+    amortized over the whole batch of calls rather than paid per call
+    (per-call round trips cost ~24 ms on the tunneled TPU runtime and would
+    swamp the kernels being measured), so no per-call min exists."""
     from .timing import time_compiled as _tc
 
     if kwargs:
         f, fargs = (lambda *a: fn(*a, **kwargs)), args
     else:
         f, fargs = fn, args
-    s = _tc(f, *fargs, iters=iters, warmup=warmup)
-    return s, s
+    return _tc(f, *fargs, iters=iters, warmup=warmup)

@@ -50,11 +50,21 @@ def device_sync(tree) -> None:
     whole queue.  Works where ``jax.block_until_ready`` lies (see module
     docstring); costs one host round trip (~24 ms on the tunnel, ~us locally).
     """
-    leaves = [l for l in jax.tree_util.tree_leaves(tree)
-              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.number)]
+    raw = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "dtype")]
+    leaves = []
+    for l in raw:
+        if jnp.issubdtype(l.dtype, jnp.number) or l.dtype == jnp.bool_:
+            leaves.append(l)
+        elif jax.dtypes.issubdtype(l.dtype, jax.dtypes.prng_key):
+            # typed PRNG keys: sync through their uint32 backing data
+            leaves.append(jax.random.key_data(l))
     if not leaves:
-        jax.block_until_ready(tree)
-        return
+        # No array to thread the barrier through.  block_until_ready is NOT
+        # a barrier on this runtime (module docstring), so falling back to
+        # it would silently lose the sync guarantee — fail loudly instead.
+        raise ValueError(
+            "device_sync: tree contains no numeric/bool/PRNG-key array "
+            "leaves to build a queue barrier from")
     # one leaf suffices for the queue barrier; a couple more guard against
     # exotic multi-stream runtimes at negligible cost
     np.asarray(_first_elem_sum(*leaves[:3]))
@@ -109,7 +119,17 @@ def time_compiled(fn, *args, iters: int = 30, warmup: int = 2,
         device_sync(out)
         total += time.perf_counter() - t0 - overhead
         done += n
-    return max(total, 1e-12) / iters
+    if total <= 0:
+        # kernel cheaper than one sync round trip's jitter: the measurement
+        # is meaningless, not "~0 s" (r3 advisor) — tell the caller.
+        import warnings
+        warnings.warn(
+            f"time_compiled: measured span ({total + overhead:.2e}s for "
+            f"{iters} calls) is within the sync overhead ({overhead:.2e}s); "
+            f"result is below measurement resolution. Increase iters or use "
+            f"time_chained.", RuntimeWarning, stacklevel=2)
+        return max(total, 1e-12) / iters
+    return total / iters
 
 
 def time_chained(step, carry, iters: int = 30, warmup: int = 2) -> float:

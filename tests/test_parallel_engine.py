@@ -81,6 +81,39 @@ def test_pad_and_mask_logpdf_matches_unpadded():
                                    float(lf1(pk1(st1), st1)), rtol=1e-12)
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_rats_sharded_posterior_parity():
+    # GSPMD sharding must not perturb the posterior (moved out of
+    # __graft_entry__.dryrun_multichip so the driver gate stays fast).
+    # Same config sharded (2-D chains x data mesh) vs unsharded;
+    # trajectories diverge chaotically (different XLA fusion layouts), so
+    # the invariant is agreement of posterior means within a fraction of
+    # the posterior SD.
+    from mamba_tpu.models import rats
+
+    model, inputs, inits = rats.build("nuts")
+    mesh = make_mesh({"chains": 4, "data": 2})
+    site_specs = {"y": P("data"), "alpha": P("data"), "beta": P("data")}
+    kw = dict(iters=300, burnin=120, thin=1, chains=8, seed=11,
+              verbose=False)
+    sharded = mt.mcmc(model, inputs, inits, mesh=mesh,
+                      site_specs=site_specs, **kw)
+    plain = mt.mcmc(model, inputs, inits, **kw)
+    a = np.asarray(plain.value)     # (kept, params, chains)
+    b = np.asarray(sharded.value)
+    mean_a, mean_b = a.mean((0, 2)), b.mean((0, 2))
+    sd = np.maximum(a.std((0, 2)), 1e-3)
+    z = np.abs(mean_a - mean_b) / sd
+    worst = int(np.argmax(z))
+    assert z.max() < 0.75, (
+        f"sharded posterior diverged: param {plain.names[worst]} "
+        f"plain={mean_a[worst]:.4f} sharded={mean_b[worst]:.4f} "
+        f"({z.max():.2f} posterior SDs)")
+
+
 def test_chees_under_mesh():
     # pmean cross-chain collectives lower through GSPMD on the mesh
     model, inputs, inits = _line()

@@ -15,8 +15,8 @@ def test_block_timer_and_time_compiled():
     with profiling.block_timer("k", sink):
         f(x)
     assert sink and sink[0][0] == "k" and sink[0][1] > 0
-    mean_s, min_s = profiling.time_compiled(f, x, iters=3, warmup=1)
-    assert 0 < min_s <= mean_s
+    s = profiling.time_compiled(f, x, iters=3, warmup=1)
+    assert s > 0
 
 
 def test_trace_produces_artifacts(tmp_path):
@@ -57,11 +57,18 @@ def test_device_sync_is_barrier_and_cheap():
 def test_time_compiled_and_chained_agree():
     from mamba_tpu.utils import timing
 
+    # big enough that real compute dominates dispatch jitter on CPU
     f = jax.jit(lambda x: jnp.exp(-jnp.abs(x)) + x)
-    x = jnp.ones((256, 128))
-    s1 = timing.time_compiled(f, x, iters=5)
-    s2 = timing.time_chained(lambda c: jnp.exp(-jnp.abs(c)) + c, x, iters=5)
+    x = jnp.ones((1024, 1024))
+    s1 = timing.time_compiled(f, x, iters=8)
+    s2 = timing.time_chained(lambda c: jnp.exp(-jnp.abs(c)) + c, x, iters=8)
     assert s1 > 0 and s2 > 0
+    # the two methods measure the same kernel; they must roughly agree
+    # (r3 advisor: the old assertion never compared them).  Bound is loose
+    # because the suite runs 2 xdist workers on 2 CPUs — scheduling noise —
+    # but a genuine methodology regression is 100x+.
+    ratio = s1 / s2
+    assert 0.03 < ratio < 30.0, f"time_compiled {s1:.2e}s vs time_chained {s2:.2e}s"
 
 
 def test_mcmc_reports_timing_breakdown():

@@ -148,3 +148,47 @@ def test_nuts_vmaps_over_chains():
     assert xs.shape == (4, 200, 2)
     eps = np.asarray(tunes2.epsilon)
     assert np.all(eps > 0) and len(np.unique(eps)) == 4  # independent adaptation
+
+
+def test_nuts_unrolled_matches_nested(monkeypatch):
+    """The two backend-selected doubling-loop formulations
+    (utils/backend.py) must produce bit-identical transitions: the unroll
+    freezes stopped chains with selects, the while_loop exits — same kept
+    values, same tune, same RNG consumption."""
+    from mamba_tpu.samplers.nuts import nuts_sub
+
+    def run(unroll_flag, minv):
+        monkeypatch.setenv("MAMBA_TPU_UNROLL", unroll_flag)
+
+        def one(key, x):
+            return nuts_sub(key, x, jnp.asarray(0.25), logfgrad, minv=minv)
+
+        keys = jax.random.split(jax.random.key(7), 16)
+        x0 = jnp.tile(MEAN, (16, 1)) + 0.5
+        # fresh jit per flag: the env decision is baked in at trace time
+        return jax.jit(jax.vmap(one))(keys, x0)
+
+    for minv in (None, jnp.array([1.0, 4.0])):
+        xu, au, nu, du = run("1", minv)
+        xn, an, nn, dn = run("0", minv)
+        np.testing.assert_array_equal(np.asarray(xu), np.asarray(xn))
+        np.testing.assert_array_equal(np.asarray(au), np.asarray(an))
+        np.testing.assert_array_equal(np.asarray(nu), np.asarray(nn))
+        np.testing.assert_array_equal(np.asarray(du), np.asarray(dn))
+
+
+def test_slice_unrolled_matches_fori(monkeypatch):
+    from mamba_tpu.samplers.slice import slice_init, slice_univariate_step
+
+    tune = slice_init(jnp.zeros(2), width=4.0)
+
+    def run(unroll_flag):
+        monkeypatch.setenv("MAMBA_TPU_UNROLL", unroll_flag)
+
+        def one(key, x):
+            return slice_univariate_step(key, x, tune, logf)[0]
+
+        keys = jax.random.split(jax.random.key(9), 8)
+        return jax.jit(jax.vmap(one))(keys, jnp.tile(MEAN, (8, 1)))
+
+    np.testing.assert_array_equal(np.asarray(run("1")), np.asarray(run("0")))

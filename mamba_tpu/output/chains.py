@@ -159,6 +159,28 @@ class Chains:
                           chains=self.chains + [c + max(self.chains) for c in
                                                 range(1, other.nchains + 1)])
 
+    def cat(self, dim: int, *others: "Chains") -> "Chains":
+        """Variadic concatenation (reference ``cat(dim, c1, c2, ...)``,
+        chains.jl:106-156): dim 1 = iterations (contiguity-checked),
+        2 = params (duplicate-name-checked), 3 = chains (ids relabeled).
+        Folds pairwise, so every pairwise validation applies."""
+        fold = {1: Chains.cat_iters, 2: Chains.cat_params,
+                3: Chains.cat_chains}.get(dim)
+        if fold is None:
+            raise ValueError(f"cat dim must be 1, 2 or 3, got {dim}")
+        out = self
+        for o in others:
+            out = fold(out, o)
+        return out
+
+    def link(self) -> np.ndarray:
+        """Heuristic unconstraining transform of the stored draws
+        (reference chains.jl:237-246): positive columns -> log,
+        unit-interval columns -> logit, others untouched.  ModelChains
+        overrides this with each node's actual transform."""
+        from .diagnostics import link_values
+        return link_values(self)
+
     def combine(self) -> np.ndarray:
         """Stack all chains into one (niter*nchains, nparams) matrix
         (reference chains.jl:190-201)."""
@@ -196,3 +218,68 @@ class ModelChains(Chains):
                            chains=chains, model=self.model,
                            compiled=self.compiled, states=self.states,
                            iter=self.iter)
+
+    def keys(self, ntype: str = "monitor") -> list:
+        """Node-name query filtered to nodes actually present in storage
+        (reference ``keys(mc, ntype)``, modelchains.jl:40-50): the Model
+        answers what *could* be monitored; this answers what *is* in the
+        stored columns."""
+        stored = {lbl.split("[")[0] for lbl in self.names}
+        return [n for n in self.model.keys(ntype) if n in stored]
+
+    def link(self) -> np.ndarray:
+        """Model-aware unconstraining transform of the stored draws
+        (reference modelchains.jl:55-73): each fully-stored stochastic
+        site's own bijector maps its columns to unconstrained space (where
+        the transform is elementwise); discrete sites get identity; only
+        leftover columns (logical nodes, partially-monitored sites,
+        shape-changing transforms like simplex/Cholesky) fall back to the
+        ``Chains.link`` positive/unit heuristic.  Fixes the heuristic's
+        failure modes — e.g. a correlation in (-1, 1) whose samples happen
+        to sit in (0, 1) would be logit-ed by the heuristic but gets its
+        true (or no) transform here."""
+        if self.compiled is None:
+            return super().link()
+        from .modelstats import _site_columns, _unpack_site
+
+        cm = self.compiled
+        cc = np.array(self.value, dtype=float, copy=True)
+        handled = np.zeros(cc.shape[1], dtype=bool)
+        try:
+            cols = _site_columns(self)
+        except ValueError:
+            cols = {}
+        for n, (off, shape) in cols.items():
+            if n not in cm.sites:
+                continue          # logical node -> heuristic fallback
+            size = int(np.prod(shape)) if shape else 1
+            span = slice(off, off + size)
+            if cm.sites[n].discrete:
+                handled[span] = True       # identity (reference link_sub)
+                continue
+            bij = cm.example_dists[n].bijector()
+            if bij.unconstrained_shape(shape) != shape:
+                continue          # shape-changing transform: not columnwise
+            # (niter, size, nchains) -> (niter, nchains, *shape), inverse
+            # elementwise (bounds broadcast in site shape), re-flatten
+            # column-major
+            block = np.moveaxis(cc[:, span, :], 2, 1)
+            vals = _unpack_site(block, shape)
+            u = np.asarray(bij.inverse(vals), dtype=float)
+            if shape:
+                flat = np.reshape(
+                    np.transpose(u, tuple(range(u.ndim - len(shape)))
+                                 + tuple(reversed(range(u.ndim - len(shape),
+                                                        u.ndim)))),
+                    u.shape[:2] + (-1,))
+            else:
+                flat = u[..., None]
+            cc[:, span, :] = np.moveaxis(flat, 1, 2)
+            handled[span] = True
+        # heuristic for whatever the model could not claim
+        for j in np.nonzero(~handled)[0]:
+            x = cc[:, j, :]
+            if x.min() > 0.0:
+                cc[:, j, :] = (np.log(x / (1.0 - x)) if x.max() < 1.0
+                               else np.log(x))
+        return cc

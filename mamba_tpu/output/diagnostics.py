@@ -55,7 +55,10 @@ def gelmandiag(c: Chains, alpha: float = 0.05, mpsrf: bool = False,
     n, p, m = c.value.shape
     if m < 2:
         raise ValueError("less than 2 chains supplied to gelman diagnostic")
-    psi = link_values(c) if transform else np.asarray(c.value, dtype=float)
+    # c.link() dispatches: ModelChains applies each node's actual bijector
+    # (reference modelchains.jl:55-73), plain Chains the positive/unit
+    # heuristic (chains.jl:237-246)
+    psi = c.link() if transform else np.asarray(c.value, dtype=float)
 
     S2 = np.stack([np.cov(psi[:, :, k], rowvar=False).reshape(p, p)
                    for k in range(m)], axis=2)       # (p, p, m)

@@ -66,6 +66,14 @@ class ChEESTune(NamedTuple):
     w_m2: jax.Array         # Welford M2 of cross-chain means
     w_sw: jax.Array         # sum of within-iteration cross-chain variances
     window: jax.Array       # refresh period (int32; 0 = off)
+    it: jax.Array           # total iteration counter (int32) — drives the
+                            # halton trajectory jitter and, unlike ``m``,
+                            # keeps advancing after warmup: a frozen jitter
+                            # index would mean fixed-length HMC post-warmup,
+                            # whose periodic trajectories resonate on
+                            # near-Gaussian posteriors (the r3 rats ChEES
+                            # R-hat 1.22 failure; Hoffman et al. 2021 §3
+                            # jitter every iteration)
 
 
 def _halton2(m):
@@ -117,7 +125,8 @@ def chees_init(key, x0, logfgrad, epsilon: float | None = None,
         w_n=jnp.asarray(0, jnp.int32),
         w_mean=jnp.zeros_like(x0), w_m2=jnp.zeros_like(x0),
         w_sw=jnp.zeros_like(x0),
-        window=jnp.asarray(mass_window, jnp.int32))
+        window=jnp.asarray(mass_window, jnp.int32),
+        it=jnp.asarray(0, jnp.int32))
 
 
 def _pmean(x):
@@ -143,7 +152,7 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
     kp, ka = jax.random.split(key)
 
     eps = jnp.where(adapt, tune.epsilon, tune.epsilonbar)
-    h = _halton2(tune.m).astype(dt)
+    h = _halton2(tune.it).astype(dt)
     # jittered trajectory: L = ceil(h * T / eps), in [1, max_steps]
     L = jnp.clip(jnp.ceil(h * tune.traj / eps).astype(jnp.int32),
                  1, tune.max_steps)
@@ -251,7 +260,8 @@ def chees_step(key, x, tune: ChEESTune, logfgrad, adapt):
         adam_m=jnp.where(adapt, adam_m, tune.adam_m),
         adam_v=jnp.where(adapt, adam_v, tune.adam_v),
         target=tune.target, max_steps=tune.max_steps, minv=minv_new,
-        w_n=w_n, w_mean=w_mean, w_m2=w_m2, w_sw=w_sw, window=tune.window)
+        w_n=w_n, w_mean=w_mean, w_m2=w_m2, w_sw=w_sw, window=tune.window,
+        it=tune.it + 1)
     return x2, new
 
 
@@ -266,7 +276,18 @@ class ChEESHMC(SamplerSpec):
     ``mass_window > 0`` learns a diagonal inverse mass during warmup from
     pooled cross-chain statistics (refreshed every that many iterations;
     lockstep-safe).  ``minv0`` seeds it (e.g. ADVI variational variances);
-    with ``mass_window=0`` the seed is held fixed."""
+    with ``mass_window=0`` the seed is held fixed.
+
+    INITIALIZATION CONTRACT: shared cross-chain adaptation assumes every
+    chain starts near the posterior's typical set.  Chains initialized far
+    away see ~zero accept probability at the pooled step size, freeze, and
+    poison the pooled mass/trajectory statistics — and unlike per-chain
+    NUTS they cannot recover individually (measured on rats: R-hat 1.7 at
+    any warmup length with over-dispersed two-point inits, vs 1.006 from
+    ADVI warm-start positions).  Use ADVI warm-start (``infer.advi`` +
+    ``ADVIResult.sample`` as inits — the pattern bench.py uses) or a
+    single init all chains share; reserve over-dispersed inits for
+    per-chain-adaptive samplers."""
     transform = True
     needs_grad = True
 

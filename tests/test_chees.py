@@ -5,6 +5,7 @@ lockstep cost; see mamba_tpu/samplers/chees.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mamba_tpu as mt
 from mamba_tpu.samplers import chees_init, chees_step
@@ -172,3 +173,34 @@ def test_chees_mass_window_learns_scale_heterogeneous_gaussian():
     assert np.abs(z_err).max() < 0.15, z_err
     np.testing.assert_allclose(flat.std(0), np.sqrt(np.asarray(var)),
                                rtol=0.2)
+
+
+@pytest.mark.slow
+def test_chees_hierarchical_rats_gated():
+    # r3 verdict #3: the bench must not be the first detector of ChEES
+    # failing on a hierarchical posterior.  Recipe under test = the
+    # documented production pattern: ADVI warm-start positions + windowed
+    # cross-chain mass adaptation + log-space variance slice.  The same
+    # run with the r3 config (identity mass, over-dispersed two-point
+    # inits, linear width-10 slice) gives rank-R-hat ~1.2-1.7.
+    import mamba_tpu.samplers as S
+    from mamba_tpu.infer import advi
+    from mamba_tpu.models import rats
+
+    model, inputs, inits = rats.build("nuts")
+    model.set_samplers([S.ChEESHMC(model.samplers[0].params, mass_window=50),
+                        *model.samplers[1:]])
+    res = advi(model, inputs, inits[0], steps=1500, nmc=4, seed=1)
+    chains = 64
+    draws = res.sample(jax.random.key(5), chains)
+    draws = {k: np.asarray(v) for k, v in draws.items()}
+    warm_inits = [dict(inits[0], **{k: d[i] for k, d in draws.items()})
+                  for i in range(chains)]
+    sim = mt.mcmc(model, inputs, warm_inits, 1000, burnin=300, thin=1,
+                  chains=chains, verbose=False, seed=5)
+    s = mt.summarystats(sim).to_dict()
+    assert abs(s["mu_beta"]["Mean"] - rats.GOLDEN["mu_beta"]["Mean"]) < 0.05
+    assert abs(s["s2_c"]["Mean"] - rats.GOLDEN["s2_c"]["Mean"]) < 3.0
+    v = np.asarray(sim.value)
+    assert float(np.max(mt.rhat_rank(v))) < 1.01
+    assert float(np.min(mt.ess_bulk(v))) > 400

@@ -55,8 +55,12 @@ def test_fused_glmm_model_matches_generic():
     # identical compiled log densities at identical states
     from mamba_tpu.models import glmm
     G = 24
-    m0, in0, init0, _ = glmm.build(G=G, n=5, seed=1, fused=False)
-    m1, in1, init1, _ = glmm.build(G=G, n=5, seed=1, fused=True)
+    # centered=True: this test drives b directly as a stochastic site;
+    # the parameterization is orthogonal to the fused-vs-generic parity
+    m0, in0, init0, _ = glmm.build(G=G, n=5, seed=1, fused=False,
+                                   centered=True)
+    m1, in1, init1, _ = glmm.build(G=G, n=5, seed=1, fused=True,
+                                   centered=True)
     cm0 = mt.compile_model(m0, in0, init0[0])
     cm1 = mt.compile_model(m1, in1, init1[0])
     rng = np.random.default_rng(7)

@@ -28,12 +28,18 @@ def test_rats_golden():
 
 @pytest.mark.slow
 def test_rats_nuts_scheme_agrees():
+    # bench.py gates (rank-R-hat < 1.01, bulk-ESS floor) enforced here too,
+    # at smaller scale, so the bench is never the first detector of a
+    # mixing regression (r3 verdict #2/#3)
     model, inputs, inits = rats.build("nuts")
-    sim = mt.mcmc(model, inputs, inits, 2000, burnin=750, thin=1, chains=2,
+    sim = mt.mcmc(model, inputs, inits, 1700, burnin=700, thin=1, chains=16,
                   verbose=False)
     s = mt.summarystats(sim).to_dict()
-    assert abs(s["mu_beta"]["Mean"] - 6.1831) < 0.15
-    assert s["mu_beta"]["ESS"] > 200
+    assert abs(s["mu_beta"]["Mean"] - 6.1831) < 0.05
+    assert abs(s["s2_c"]["Mean"] - 37.254) < 3.0
+    v = np.asarray(sim.value)
+    assert float(np.max(mt.rhat_rank(v))) < 1.01
+    assert float(np.min(mt.ess_bulk(v))) > 400
 
 
 @pytest.mark.slow

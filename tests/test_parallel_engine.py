@@ -97,7 +97,11 @@ def test_rats_sharded_posterior_parity():
     model, inputs, inits = rats.build("nuts")
     mesh = make_mesh({"chains": 4, "data": 2})
     site_specs = {"y": P("data"), "alpha": P("data"), "beta": P("data")}
-    kw = dict(iters=300, burnin=120, thin=1, chains=8, seed=11,
+    # burnin must cover actual convergence from the over-dispersed second
+    # init: the conjugate s2 draws track the current SSE exactly, so an
+    # unconverged chain shows s2_c in the thousands (the old width-capped
+    # slice masked this by moving s2_c at most ~10/iteration)
+    kw = dict(iters=500, burnin=300, thin=1, chains=8, seed=11,
               verbose=False)
     sharded = mt.mcmc(model, inputs, inits, mesh=mesh,
                       site_specs=site_specs, **kw)

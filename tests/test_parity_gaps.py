@@ -126,3 +126,56 @@ def test_progress_defaults_on_with_verbose(capsys):
     capsys.readouterr()
     mt.mcmc(model, inputs, inits, 80, burnin=20, chains=2, verbose=False)
     assert "remaining]" not in capsys.readouterr().out
+
+
+# -- round-4 parity gaps (VERDICT r3 §missing): model-aware link, variadic
+#    cat, stored-column keys ------------------------------------------------
+
+def _bounded_model_chains():
+    # theta ~ Uniform(2, 8): every sample is positive, so the Chains
+    # heuristic would log it — but its true link is the scaled logit
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda theta: mt.Normal(theta, 1.0), monitor=False),
+        theta=mt.Stochastic(lambda: mt.Uniform(2.0, 8.0)),
+    )
+    model.set_samplers([mt.Slice("theta", 2.0)])
+    inits = {"y": jnp.array([4.0, 5.0, 4.5]), "theta": 5.0}
+    return mt.mcmc(model, {}, [inits], 300, burnin=100, chains=4,
+                   verbose=False)
+
+
+def test_modelchains_link_uses_node_transform():
+    sim = _bounded_model_chains()
+    x = np.asarray(sim.value)[:, 0, :]
+    linked = sim.link()[:, 0, :]
+    p = (x - 2.0) / 6.0
+    np.testing.assert_allclose(linked, np.log(p) - np.log1p(-p), rtol=1e-6)
+    # the heuristic (plain Chains view of the same draws) gets it wrong
+    heur = mt.Chains(sim.value, start=sim.start, thin=sim.thin,
+                     names=sim.names, chains=sim.chains).link()[:, 0, :]
+    assert not np.allclose(linked, heur)
+    np.testing.assert_allclose(heur, np.log(x), rtol=1e-6)
+    # and gelmandiag(transform=True) consumes the model-aware values
+    mt.gelmandiag(sim, transform=True)
+
+
+def test_modelchains_keys_filters_to_stored():
+    sim = _bounded_model_chains()
+    assert sim.keys("monitor") == ["theta"]
+    assert sim.keys("stochastic") == ["theta"]   # y not stored
+    assert sim.keys("observed") == []
+
+
+def test_cat_variadic():
+    from mamba_tpu.models import line
+    model, inputs, inits = line.build()
+    a = mt.mcmc(model, inputs, inits, 60, burnin=20, chains=2, verbose=False)
+    b = mt.mcmc(model, inputs, inits, 60, burnin=20, chains=2, verbose=False)
+    c = mt.mcmc(model, inputs, inits, 60, burnin=20, chains=2, verbose=False)
+    out = a.cat(3, b, c)
+    assert out.nchains == 6
+    assert out.chains == list(range(1, 7))       # relabeled, not duplicated
+    np.testing.assert_array_equal(out.value[:, :, 2:4], b.value)
+    # dim-1 contiguity is still enforced through the variadic fold
+    with pytest.raises(ValueError):
+        a.cat(1, b)

@@ -78,11 +78,14 @@ def build(G: int = 10_000, n: int = 10, seed: int = 0,
 
         # Exact conjugate draw of the random-effect variance (the
         # reference's user-supplied Gibbs-block pattern,
-        # doc/tutorial/line.jl:27-45): s2 | b ~ IG(2 + G/2, 2 + sum(b^2)/2)
+        # doc/tutorial/line.jl:27-45): s2 | b ~ IG(2 + G/2, 2 + sum(b^2)/2).
+        # Bounded-rounds sampler, not jax.random.gamma (see models/rats.py).
+        from ..ops.rng import inverse_gamma_bounded
+
         def s2_gibbs(key, env):
             b = env["b"]
-            return {"s2": (2.0 + 0.5 * jnp.sum(b * b))
-                    / jax.random.gamma(key, 2.0 + 0.5 * b.shape[0])}
+            return {"s2": inverse_gamma_bounded(
+                key, 2.0 + 0.5 * b.shape[0], 2.0 + 0.5 * jnp.sum(b * b))}
 
         model.set_samplers([
             NUTS(["beta", "b"], mass_window=mass_window),

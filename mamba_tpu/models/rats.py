@@ -54,7 +54,7 @@ def build(scheme: str = "reference"):
     ``scheme='nuts-slice'`` — same NUTS block with a log-space slice sweep
     on the variances instead (generic fallback when no conjugate form
     exists)."""
-    xm = jnp.asarray(X - XBAR)
+    xm = X - XBAR  # host array: device inputs would force fetches at compile
 
     model = Model(
         y=Stochastic(2, lambda alpha, beta, Xm, s2_c: Normal(
@@ -89,15 +89,16 @@ def build(scheme: str = "reference"):
         # bounded below by ~1 + tau/kept_draws, so tau is the gate.
         # NOTE: the sums assume unpadded y/alpha/beta; with a sharded
         # non-divisible data axis (pad-and-mask) use 'nuts-slice'.
+        # inverse_gamma_bounded, not jax.random.gamma: the latter's
+        # rejection while_loop inside the engine's scan crashed the
+        # tunneled-TPU worker (r4) and breaks vmap lockstep besides.
+        from ..ops.rng import inverse_gamma_bounded as ig
+
         def var_gibbs(key, env):
             k1, k2, k3 = jax.random.split(key, 3)
             y, alpha, beta = env["y"], env["alpha"], env["beta"]
             fit = alpha[:, None] + beta[:, None] * env["Xm"][None, :]
             sse = jnp.sum((y - fit) ** 2)
-
-            def ig(k, a, b):
-                return b / jax.random.gamma(k, a)
-
             return {
                 "s2_c": ig(k1, 0.001 + 75.0, 0.001 + 0.5 * sse),
                 "s2_alpha": ig(k2, 0.001 + 15.0, 0.001 + 0.5 * jnp.sum(
@@ -107,6 +108,13 @@ def build(scheme: str = "reference"):
             }
 
         model.set_samplers([
+            # mass_window=100 + expanding windows: refreshes at 100 and
+            # 300; pair with warmup >= 500 so the last refresh leaves a
+            # step-size-only re-adaptation tail (a refresh landing at
+            # warmup end freezes an un-retuned step size), and so chains
+            # from the over-dispersed second init (reference
+            # rats.jl:101-108, upstream warmup 2500) have converged before
+            # the final mass window opens.
             NUTS(["alpha", "beta", "mu_alpha", "mu_beta"], mass_window=100),
             Gibbs(["s2_c", "s2_alpha", "s2_beta"], var_gibbs),
         ])

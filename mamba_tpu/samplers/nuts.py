@@ -361,7 +361,15 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
     x2, alpha, nalpha, depth = nuts_sub(key, x, eps_used, logfgrad,
                                         max_depth, minv=minv)
 
-    # Welford update + windowed inverse-mass refresh (warmup only)
+    # Welford update + windowed inverse-mass refresh (warmup only).
+    # Stan-style EXPANDING windows: each refresh doubles the next window
+    # length, so the early (short) windows only steer the chain while the
+    # final (long) window — by which time the chain has left its init
+    # transient — decides the mass actually used for sampling.  A fixed
+    # window is an adaptation trap: a chain still traveling from a far-off
+    # init bakes its transient variance into minv (measured: minv ~1500 vs
+    # converged ~9 on rats), its step size then collapses against the bad
+    # metric, and post-warmup it is frozen at depth 1 forever.
     do_w = adapt & use_mass
     w_n = tune.w_n + jnp.where(do_w, 1, 0).astype(jnp.int32)
     delta = x2 - tune.w_mean
@@ -375,6 +383,7 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
     w_n = jnp.where(at_window, 0, w_n)
     w_mean = jnp.where(at_window, jnp.zeros_like(w_mean), w_mean)
     w_m2 = jnp.where(at_window, jnp.zeros_like(w_m2), w_m2)
+    window_new = jnp.where(at_window, tune.window * 2, tune.window)
 
     m = tune.m + jnp.where(adapt, 1, 0).astype(jnp.int32)
     mf = m.astype(dt)
@@ -385,6 +394,12 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
     p2 = mf ** -tune.kappa
     epsbar_new = jnp.exp(p2 * jnp.log(eps_new) + (1.0 - p2) * jnp.log(tune.epsilonbar))
 
+    # a metric change invalidates the step-size statistics: re-center dual
+    # averaging on the current step so it re-adapts under the new mass
+    # (same recovery rule as ChEES, samplers/chees.py)
+    Hbar_new = jnp.where(at_window, jnp.zeros_like(Hbar_new), Hbar_new)
+    mu = jnp.where(at_window, jnp.log(10.0 * eps_new), mu)
+
     new = NUTSTune(
         epsilon=jnp.where(adapt, eps_new, eps_used),
         epsilonbar=jnp.where(adapt, epsbar_new, tune.epsilonbar),
@@ -392,7 +407,7 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
         mu=mu, m=m, alpha=alpha,
         nalpha=nalpha, depth=depth, gamma=tune.gamma, kappa=tune.kappa, t0=tune.t0,
         target=tune.target, minv=minv_new, w_n=w_n, w_mean=w_mean,
-        w_m2=w_m2, window=tune.window)
+        w_m2=w_m2, window=window_new)
     return x2, new
 
 
@@ -402,9 +417,11 @@ class NUTS(SamplerSpec):
     (reference NUTS ctor nuts.jl:47-56).
 
     ``mass_window > 0`` additionally learns a diagonal mass matrix over
-    warmup windows of that many iterations (beyond the reference — its NUTS
-    is identity-mass only; a badly-scaled posterior like rats gains an
-    order of magnitude in ESS/draw).  ``minv0`` seeds the inverse mass with
+    warmup windows, the FIRST of that many iterations and each subsequent
+    window twice as long (Stan-style expanding schedule; the final window
+    dominates, after init transients have died).  Beyond the reference —
+    its NUTS is identity-mass only; a badly-scaled posterior like rats
+    gains an order of magnitude in ESS/draw.  ``minv0`` seeds the inverse mass with
     a posterior-variance estimate in the block's unconstrained ravel order
     (e.g. ``ADVIResult.unconstrained_variances()``); with ``mass_window=0``
     the seed is used as-is and never refreshed."""

@@ -58,12 +58,16 @@ def _run(mt, sampler, chains, mesh=None, iters=ITERS):
     kw = dict(iters=iters, burnin=BURNIN, thin=1, chains=chains,
               verbose=False, mesh=mesh)
     mt.mcmc(model, inputs, inits, **kw)          # compile
-    t0 = time.time()
     sim = mt.mcmc(model, inputs, inits, **kw)
-    dt = time.time() - t0
+    # barrier-timed device compute (utils/timing.py queue-drain sync);
+    # fetch_s reported separately — r3 proved block_until_ready-style
+    # host walls measure dispatch/tunnel, not the chip
+    dt = sim.timing["sample_s"]
     ess_s = float(np.sum(mt.ess_bulk(np.asarray(sim.value)))) / dt
     row = {"chains": chains, "samples_s": round(chains * iters / dt, 1),
-           "warm_s": round(dt, 2), "ess_s": round(ess_s, 1)}
+           "warm_s": round(dt, 2),
+           "fetch_s": round(sim.timing["fetch_s"], 2),
+           "ess_s": round(ess_s, 1)}
     if sampler == "nuts":
         depth = np.asarray(sim.states["tunes"][0].depth)
         row["depth_mean"] = round(float(depth.mean()), 2)
@@ -124,11 +128,32 @@ def mode_mesh():
             "weak_scaling_efficiency_pct": round(eff, 1)}
 
 
+def mode_ab():
+    """Unrolled-vs-nested NUTS doubling-loop A/B at the bench config,
+    barrier-timed (r3 verdict #4: decompose the r2->r3 throughput delta
+    into timing-artifact vs unroll cost).  Both formulations produce
+    bit-identical kept samples (tests/test_samplers.py); this measures
+    only their runtime difference on the current backend."""
+    import mamba_tpu as mt
+
+    rows = {}
+    for flag, label in (("1", "unrolled"), ("0", "nested_while")):
+        os.environ["MAMBA_TPU_UNROLL"] = flag
+        row, _ = _run(mt, "nuts", 1024)
+        rows[label] = row
+        print(f"{label:13s} {row['samples_s']:12,.0f} samples/s "
+              f"({row['warm_s']:.2f}s)", flush=True)
+    os.environ.pop("MAMBA_TPU_UNROLL", None)
+    rows["speedup_unrolled_vs_nested"] = round(
+        rows["unrolled"]["samples_s"] / rows["nested_while"]["samples_s"], 3)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     # one mode per process: chip needs the TPU platform, mesh forces CPU,
     # and a JAX backend can't be switched after initialization
-    ap.add_argument("--mode", choices=["chip", "mesh"], required=True)
+    ap.add_argument("--mode", choices=["chip", "mesh", "ab"], required=True)
     args = ap.parse_args()
     out = {}
     if os.path.exists(OUT):
@@ -136,6 +161,8 @@ def main():
             out = json.load(f)
     if args.mode == "chip":
         out["single_chip_chain_sweep"] = mode_chip()
+    elif args.mode == "ab":
+        out["nuts_loop_formulation_ab"] = mode_ab()
     else:
         out["virtual_mesh_weak_scaling"] = mode_mesh()
     with open(OUT, "w") as f:

@@ -1,7 +1,12 @@
 """Worker process for the 2-process jax.distributed test
 (tests/test_multihost.py).  Run as:
 
-    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id>
+    python tests/_multihost_worker.py <coordinator> <num_procs> <proc_id> [mode]
+
+``mode`` is ``1d`` (default; chain-sharded mesh) or ``2d`` (chains x data
+mesh: the observation axis of the likelihood is sharded across process
+boundaries too, exercising the psum-reduced log-density over the
+inter-process links — r3 verdict #8).
 
 Each process exposes 2 virtual CPU devices; the global mesh spans
 num_procs x 2 devices.  Process 0 prints the posterior summary as one JSON
@@ -53,9 +58,17 @@ def main():
     inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
              "beta": jnp.zeros(2), "s2": 1.0}
 
-    mesh = global_mesh({"chains": 2 * nproc})
+    mode = sys.argv[4] if len(sys.argv) > 4 else "1d"
+    if mode == "2d":
+        from jax.sharding import PartitionSpec as P
+        mesh = global_mesh({"chains": nproc, "data": 2})
+        site_specs = {"y": P("data"), "xmat": P("data", None)}
+    else:
+        mesh = global_mesh({"chains": 2 * nproc})
+        site_specs = None
     sim = mt.mcmc(model, {"xmat": X}, [inits], 600, burnin=200,
-                  chains=4 * nproc, seed=19, verbose=False, mesh=mesh)
+                  chains=4 * nproc, seed=19, verbose=False, mesh=mesh,
+                  site_specs=site_specs)
     if pid == 0:
         s = mt.summarystats(sim).to_dict()
         print(json.dumps({

@@ -29,8 +29,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_mcmc_matches_single_process():
+def _run_workers(mode: str):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -38,7 +37,7 @@ def test_two_process_distributed_mcmc_matches_single_process():
     # the worker pins its own platform/device-count flags
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid)],
+        [sys.executable, WORKER, coord, "2", str(pid), mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for pid in range(2)]
     outs = []
@@ -56,6 +55,12 @@ def test_two_process_distributed_mcmc_matches_single_process():
     assert res["processes"] == 2 and res["devices"] == 4
     # all 8 chains' draws gathered on process 0
     assert res["shape"][2] == 8, res["shape"]
+    return res
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mcmc_matches_single_process():
+    res = _run_workers("1d")
 
     # statistical parity with the in-process (single-host) engine: same
     # model, same seed and chain count -> identical chain RNG streams, so
@@ -81,3 +86,45 @@ def test_two_process_distributed_mcmc_matches_single_process():
     np.testing.assert_allclose(res["beta1"], s["beta[1]"]["Mean"], rtol=1e-8)
     np.testing.assert_allclose(res["beta2"], s["beta[2]"]["Mean"], rtol=1e-8)
     np.testing.assert_allclose(res["s2"], s["s2"]["Mean"], rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_two_process_2d_mesh_sharded_likelihood():
+    # r3 verdict #8: the psum-reduced sharded-likelihood path must cross
+    # process boundaries, not just the chain axis.  Mesh (chains=2, data=2)
+    # over 2 processes x 2 devices: the 5-observation axis is edge-padded
+    # to 6, masked, and its log-density partial sums all-reduce over the
+    # inter-process link every leapfrog step.
+    res = _run_workers("2d")
+
+    # statistical parity with the in-process engine on an identically
+    # shaped 2-D mesh (4 of the parent's 8 virtual devices)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    import mamba_tpu as mt
+    from mamba_tpu.parallel import make_mesh
+
+    model = mt.Model(
+        y=mt.Stochastic(1, lambda mu, s2: mt.Normal(mu, jnp.sqrt(s2)),
+                        monitor=False),
+        mu=mt.Logical(1, lambda xmat, beta: xmat @ beta, monitor=False),
+        beta=mt.Stochastic(1, lambda: mt.Normal(jnp.zeros(2),
+                                                jnp.sqrt(1000.0))),
+        s2=mt.Stochastic(lambda: mt.InverseGamma(0.001, 0.001)),
+    )
+    model.set_samplers([mt.HMC("beta", 0.1, 10), mt.Slice("s2", 2.0)])
+    X = jnp.stack([jnp.ones(5), jnp.arange(1.0, 6.0)], 1)
+    inits = {"y": jnp.array([1.0, 3.0, 3.0, 3.0, 5.0]),
+             "beta": jnp.zeros(2), "s2": 1.0}
+    mesh = make_mesh({"chains": 2, "data": 2}, jax.devices()[:4])
+    sim = mt.mcmc(model, {"xmat": X}, [inits], 600, burnin=200, chains=8,
+                  seed=19, verbose=False, mesh=mesh,
+                  site_specs={"y": P("data"), "xmat": P("data", None)})
+    s = mt.summarystats(sim).to_dict()
+    # same program partitioning, different device placement: agreement is
+    # statistical (fusion layouts may differ across process topologies)
+    np.testing.assert_allclose(res["beta1"], s["beta[1]"]["Mean"], atol=0.3)
+    np.testing.assert_allclose(res["beta2"], s["beta[2]"]["Mean"], atol=0.1)
+    assert 0.3 < res["s2"] < 4.0

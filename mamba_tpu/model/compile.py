@@ -61,13 +61,29 @@ class CompiledModel:
         #: masked-out entries contribute exactly 0 to every log density —
         #: this is how sharded observation axes support arbitrary (non-mesh-
         #: divisible) lengths: the engine pads the data and masks the tail.
-        self.masks = {k: jnp.asarray(np.asarray(v, dtype=bool))
+        # HOST arrays, deliberately: inputs/masks only ever appear as
+        # closed-over constants inside traced programs, where numpy bakes
+        # in identically.  Eagerly uploading them would (a) commit the
+        # shape-resolution probe below onto the accelerator (committed
+        # operands override default_device) and (b) put device round-trips
+        # on the compile path — measured minutes on a degraded remote-TPU
+        # tunnel for kilobyte arrays.
+        def _host(v):
+            # one explicit transfer for device-resident user arrays (each
+            # implicit np.asarray of a remote array is a separate fetch)
+            return np.asarray(jax.device_get(v) if isinstance(v, jax.Array)
+                              else v)
+
+        self.masks = {k: _host(v).astype(bool)
                       for k, v in (masks or {}).items()}
         missing = model.input_names - set(inputs)
         if missing:
             raise ValueError(f"missing input values for {sorted(missing)}")
-        self.inputs = {k: jnp.asarray(np.asarray(v), dtype=self._in_dtype(v))
-                       for k, v in inputs.items() if k in model.input_names}
+        self.inputs = {}
+        for k, v in inputs.items():
+            if k in model.input_names:
+                h = _host(v)
+                self.inputs[k] = h.astype(self._in_dtype(h))
 
         self.stochastic = model.keys("stochastic")
         self.logical = model.keys("logical")
@@ -76,18 +92,34 @@ class CompiledModel:
         # --- resolve shapes / bijectors with ONE jitted forward pass
         # (a remote TPU dispatches eager ops over a tunnel; op-by-op graph
         # evaluation here costs ~30s, a single compiled call ~2s) ----------
+        # host arrays: the probe below runs on the CPU backend, so nothing
+        # here should touch the accelerator
         state = {}
         for name in self.stochastic:
             if name not in example_inits:
                 raise ValueError(f"no initial value for stochastic node {name!r}")
-            state[name] = jnp.asarray(np.asarray(example_inits[name], dtype=np.float64),
-                                      dtype=self.dtype)
+            state[name] = _host(example_inits[name]).astype(
+                np.float64).astype(self.dtype)
 
         def _probe(state):
             env = self._eval_env(state)
             return env, {n: self._node_dist(n, env) for n in self.stochastic}
 
-        env, dists = jax.jit(_probe)(state)
+        # The probe only resolves shapes/bijector params/example values —
+        # run it on the host CPU backend when one exists: compiling even
+        # this tiny program against a remote-TPU tunnel costs ~30 s
+        # (healthy) to minutes (degraded link), all of it avoidable.  The
+        # resulting host arrays are baked into later TPU programs as
+        # constants, so placement is irrelevant.
+        try:
+            probe_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            probe_dev = None
+        if probe_dev is not None and jax.default_backend() != "cpu":
+            with jax.default_device(probe_dev):
+                env, dists = jax.jit(_probe)(state)
+        else:
+            env, dists = jax.jit(_probe)(state)
         #: concrete example distributions (for static support enumeration,
         #: missing-value masks, and bijector resolution)
         self.example_dists = dists

@@ -176,12 +176,52 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
             r = r.addressable_data(0)
         return np.asarray(r)
 
+    # Overlap the kept-phase compile with the warmup phase: XLA compiles of
+    # the two scan programs are independent, and the kept compile (the
+    # larger: ~31 s for the rats bench program) otherwise sits on the cold
+    # critical path AFTER warmup finishes.  A daemon thread AOT-lowers and
+    # compiles the kept programs while warmup executes (tracing holds the
+    # GIL briefly; the XLA compile itself releases it); the kept loop then
+    # joins and reuses the warm jit-cache entries via the persistent
+    # compilation cache.
+    import threading
+
+    kept_sizes = _chunk_sizes(n_kept, max(1, launch_iters // thin))
+    aot: dict = {}
+    carry0 = carry      # avals only; the warm loop rebinds `carry`
+
+    def _precompile_kept():
+        try:
+            for rows_n in sorted(set(kept_sizes)):
+                aot[rows_n] = kept_fn(rows_n).lower(*carry0).compile()
+        except Exception:       # fall back to the synchronous compile path
+            aot.clear()
+
+    def _single_device(tree):
+        # AOT executables demand the exact input shardings they were
+        # lowered with; on a mesh the warm scan's outputs come back with
+        # GSPMD-chosen shardings that differ from the inits', so the
+        # precompile only pays off (and is only safe to reuse) when
+        # everything lives on one device.
+        for l in jax.tree_util.tree_leaves(tree):
+            devs = getattr(l, "devices", None)
+            if devs is not None and len(devs()) > 1:
+                return False
+        return True
+
+    pre = None
+    if burnin and kept_sizes and _single_device(carry0):
+        pre = threading.Thread(target=_precompile_kept, daemon=True)
+        pre.start()
+
     t0 = time.time()
     for cw in _chunk_sizes(burnin, launch_iters):
         carry = warm_fn(cw)(*carry)
         if meter is not None:
             device_sync(carry[1])
             meter.update(cw)
+    if pre is not None:
+        pre.join()
 
     # Kept-draw chunks stay resident on device so sample_s can be split from
     # fetch_s, but residency is capped by a byte budget: a long run
@@ -204,8 +244,14 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
         device_pieces.clear()
         resident = 0
 
-    for ck in _chunk_sizes(n_kept, max(1, launch_iters // thin)):
-        key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
+    for ck in kept_sizes:
+        try:
+            if ck in aot:
+                key_f, state_f, tunes_f, r = aot[ck](*carry)
+            else:
+                raise KeyError(ck)
+        except (KeyError, TypeError, ValueError):
+            key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
         carry = (key_f, state_f, tunes_f)
         device_pieces.append(r)
         resident += int(np.prod(r.shape)) * r.dtype.itemsize

@@ -31,9 +31,9 @@ def build(chains: int = 3, seed: int = 42, scheme: str = "nuts"):
     else:
         model.set_samplers([NUTS("beta"), Slice("s2", 3.0)])
 
-    x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
-    y = jnp.array([1.0, 3.0, 3.0, 3.0, 5.0])
-    inputs = {"xmat": jnp.stack([jnp.ones_like(x), x], axis=1)}
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    y = np.array([1.0, 3.0, 3.0, 3.0, 5.0])
+    inputs = {"xmat": np.stack([np.ones_like(x), x], axis=1)}
     rng = np.random.default_rng(seed)
     inits = [{"y": y, "beta": rng.normal(0.0, 1.0, 2), "s2": rng.gamma(1.0)}
              for _ in range(chains)]

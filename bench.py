@@ -32,7 +32,7 @@ def _cpu_baseline_iters_s() -> float:
         with open(path) as f:
             return float(json.load(f)["cpu_iters_s"])
     except (OSError, KeyError, ValueError):
-        return 2300.0  # last committed bench_cpu.py measurement (Xeon host)
+        return 217.0  # last committed bench_cpu.py measurement (Xeon host)
 
 CHAINS = 1024
 ITERS = 1500
@@ -162,6 +162,25 @@ def _glmm_run(chains=1024, iters=1300, burnin=300, G=10_000):
     grad_fn = jax.vmap(lambda v, st: jax.value_and_grad(logf)(v, st))
     rf = roofline(grad_fn, flat, state, iters=20)
 
+    # compiled-kernel gradient accuracy vs the generic f32 XLA build at
+    # identical block vectors (r3 advisor: tests run the CPU interpreter,
+    # so the hardware kernel's vjp error was unpinned).  8 chains suffice.
+    cm_g = mt.compile_model(model_g, inputs_g, inits_g[0])
+    _, _, _, logf_g = cm_g.block_functions(params, True)
+    sub = {k: v[:8] for k, v in state.items()}
+    sub_g = dict(sub, y=jnp.broadcast_to(
+        jnp.asarray(np.asarray(inits_g[0]["y"]), cm_g.dtype),
+        (8,) + np.asarray(inits_g[0]["y"]).shape))
+    flat8 = flat[:8]
+    vg = jax.jit(jax.vmap(lambda v, st: jax.value_and_grad(logf)(v, st)))(
+        flat8, sub)
+    vr = jax.jit(jax.vmap(lambda v, st: jax.value_and_grad(logf_g)(v, st)))(
+        flat8, sub_g)
+    gerr = float(np.max(np.abs(np.asarray(vg[1]) - np.asarray(vr[1]))
+                        / (np.abs(np.asarray(vr[1])) + 1e-3)))
+    verr = float(np.max(np.abs((np.asarray(vg[0]) - np.asarray(vr[0]))
+                               / np.asarray(vr[0]))))
+
     return {
         "G": G, "chains": chains, "iters": iters,
         "advi_warmstart_s": round(advi_s, 2),
@@ -178,6 +197,9 @@ def _glmm_run(chains=1024, iters=1300, burnin=300, G=10_000):
             "pct_hbm_roofline": rf["pct_hbm"],
             "pct_flops_peak": rf["pct_flops"],
             "bound": rf["bound"],
+            "grad_max_rel_err_vs_f32": round(gerr, 6),
+            "logp_max_rel_err_vs_f32": round(verr, 8),
+            "grad_match": bool(gerr < 1e-2),
         },
     }
 

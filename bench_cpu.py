@@ -26,8 +26,8 @@ import mamba_tpu as mt  # noqa: E402
 from mamba_tpu.models import rats  # noqa: E402
 
 CHAINS = 2
-ITERS = 1000
-BURNIN = 300
+ITERS = 1500
+BURNIN = 500
 
 
 def main():

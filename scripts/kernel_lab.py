@@ -116,6 +116,24 @@ def run():
     results["bf16_vs_f32"] = {"lp_max_rel_err": round(rel, 5),
                               "gbeta_max_rel_err": round(grel, 5)}
 
+    # numerical check of the SHIPPED kernel against the f32 XLA reference
+    # (r3 advisor: the 0.61 figure above measures the all-bf16 XLA path,
+    # not the shipped kernel, and tests/ run the CPU interpreter — this is
+    # the compiled kernel's actual gradient error on hardware)
+    lp_s, gbeta_s, gb_s = jf(Xt, y, betas, bs)
+    lp_err = float(jnp.max(jnp.abs((lp_s - vf[0]) / vf[0])))
+    gbeta_err = float(jnp.max(jnp.abs(gbeta_s - vf[1][0])
+                              / (jnp.abs(vf[1][0]) + 1e-3)))
+    gb_err = float(jnp.max(jnp.abs(gb_s[:, :G] - vf[1][1][:, :G])
+                           / (jnp.abs(vf[1][1][:, :G]) + 1e-3)))
+    results["shipped_vs_f32"] = {
+        "lp_max_rel_err": round(lp_err, 6),
+        "gbeta_max_rel_err": round(gbeta_err, 6),
+        "gb_max_rel_err": round(gb_err, 6),
+        "ok_at_1e-2": bool(max(lp_err, gbeta_err, gb_err) < 1e-2),
+    }
+    assert results["shipped_vs_f32"]["ok_at_1e-2"], results["shipped_vs_f32"]
+
     print(json.dumps(results, indent=1))
     with open(os.path.join(ROOT, "KERNEL_LAB.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -416,3 +416,24 @@ def test_line_amwg_slice_golden():
     s = mt.summarystats(sim).to_dict()
     assert abs(s["beta[2]"]["Mean"] - line.GOLDEN["beta[2]"]["Mean"]) < 0.12
     assert abs(s["s2"]["Mean"] - line.GOLDEN["s2"]["Mean"]) < 0.8
+
+
+@pytest.mark.slow
+def test_rats_no_stuck_chains_from_dispersed_inits():
+    # r4 regression: with a FIXED mass window, one chain per ~64 from the
+    # over-dispersed second init baked its warmup transient into the mass
+    # (minv ~1500 vs ~9), froze at a collapsed step size, and dragged the
+    # s2_c posterior mean to ~2288.  Expanding windows + post-refresh dual
+    # averaging re-centering (samplers/nuts.py) must keep every chain's
+    # s2_c mean in the posterior bulk.  seed=5 is the stream that exposed
+    # the original failure.
+    model, inputs, inits = rats.build("nuts")
+    sim = mt.mcmc(model, inputs, inits, 1200, burnin=500, thin=1,
+                  chains=64, verbose=False, seed=5)
+    v = np.asarray(sim.value)
+    names = list(sim.names)
+    per_chain = v[:, names.index("s2_c"), :].mean(0)
+    assert per_chain.max() < 60.0, per_chain.max()
+    assert per_chain.min() > 20.0, per_chain.min()
+    eps = np.asarray(sim.states["tunes"][0].epsilonbar)
+    assert (eps > 0.01).all(), eps.min()

@@ -20,6 +20,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 import mamba_tpu as mt
 from mamba_tpu.models import rats
@@ -176,8 +177,11 @@ def _glmm_run(chains=1024, iters=1300, burnin=300, G=10_000):
         flat8, sub)
     vr = jax.jit(jax.vmap(lambda v, st: jax.value_and_grad(logf_g)(v, st)))(
         flat8, sub_g)
-    gerr = float(np.max(np.abs(np.asarray(vg[1]) - np.asarray(vr[1]))
-                        / (np.abs(np.asarray(vr[1])) + 1e-3)))
+    # max |diff| vs the reference gradient's own magnitude scale —
+    # elementwise relative error is meaningless where a 10k-term gradient
+    # component happens to cancel near zero
+    g1, g0 = np.asarray(vg[1]), np.asarray(vr[1])
+    gerr = float(np.max(np.abs(g1 - g0)) / max(np.max(np.abs(g0)), 1e-6))
     verr = float(np.max(np.abs((np.asarray(vg[0]) - np.asarray(vr[0]))
                                / np.asarray(vr[0]))))
 

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.backend import unroll_loops
+from ..utils.backend import nuts_unroll
 from .base import SamplerSpec
 
 
@@ -174,7 +174,7 @@ def _subtree_turned(x_ck, r_ck, x, r, pm, idx_min, idx_max, max_depth, minv):
     # -> ~20 s with the unroll).  Runtime also wins: 10 dim-62 dot pairs
     # beat a device loop's per-trip overhead.  The CPU/GSPMD backend
     # handles the fori_loop fine (utils/backend.py).
-    if unroll_loops():
+    if nuts_unroll():
         turned = jnp.asarray(False)
         for i in range(max_depth):
             turned = body(i, turned)
@@ -323,7 +323,7 @@ def nuts_sub(key, x, epsilon, logfgrad, max_depth=10, minv=None):
     c0 = (jnp.asarray(0, jnp.int32), key, x, r0, grad0, x, r0, grad0, x,
           jnp.asarray(1, jnp.int32), jnp.asarray(True),
           jnp.asarray(1.0, dt), jnp.asarray(1, jnp.int32))
-    if unroll_loops():
+    if nuts_unroll():
         c = c0
         for j in range(max_depth):
             s = c[10]

@@ -1,23 +1,28 @@
-"""Trace-time backend detection for loop-formulation selection.
+"""Trace-time loop-formulation selection (NUTS doubling build, small
+univariate-slice coordinate sweeps).
 
-Two loop formulations exist for the NUTS doubling build and the small
-univariate-slice coordinate sweep:
+Two formulations exist, proven bit-identical on kept samples
+(tests/test_samplers.py):
 
-- **Trace-time unroll** (static Python loop over levels/coords): the right
-  shape for the TPU compiler.  The nested ``scan -> while -> while`` program
-  with a traced diagonal mass referenced at every level sends the TPU pass
-  pipeline pathological (measured v5e, rats 1024 chains: 574 s cold
-  compile; unrolled ~1 min, and slightly faster at runtime).
-- **Nested ``lax.while_loop``** (doubling loop as a device loop): the right
-  shape for the CPU backend under GSPMD partitioning.  The unrolled
-  program's 10 sibling subtree loops, each referencing the sharded
-  checkpoint buffers, blow the CPU/GSPMD compile up >200x (11 s -> 35+ min
-  on an 8-virtual-device mesh — round-3 verdict, MULTICHIP_r03).
+- **Nested ``lax.while_loop``** — the default for the NUTS doubling loop
+  on every backend.  Barrier-timed A/B at the rats bench config
+  (SCALING.json nuts_loop_formulation_ab, v5e, 1024 chains): 58.3k vs
+  19.0k samples/s — the unroll executes all ``max_depth`` levels each
+  iteration, and the per-level select/freeze of the whole carry
+  (checkpoint buffers included) costs ~3x the useful work.  It also
+  compiles FASTER cold (60.9 s vs 91.9 s no-cache) now that the flagship
+  scheme carries no slice ``while_loop`` blocks, and it is the only
+  formulation the 8-device GSPMD/CPU partitioner compiles in seconds
+  (the unroll regressed it 11 s -> 35+ min, round-3 verdict).
+- **Trace-time unroll** — kept for the small (<=16-coord) univariate
+  slice sweep on TPU only: a multi-trip ``fori_loop`` whose body holds
+  the shrinkage ``while_loop``, composed after a while-heavy NUTS block
+  in the same program, sent the TPU pass pipeline pathological in r2
+  (590 s vs 4 s compile).  The NUTS unroll remains available as an
+  escape hatch / A-B lever.
 
-Neither backend compiles both shapes well, so the formulation is selected
-at trace time from ``jax.default_backend()``.  Both were proven
-bit-identical on kept samples in the f540c10 A/B.  Override with
-``MAMBA_TPU_UNROLL=0|1`` for A/B measurements.
+Override with ``MAMBA_TPU_UNROLL=0|1`` (applies to both sites) for
+measurements.
 """
 
 from __future__ import annotations
@@ -27,9 +32,20 @@ import os
 import jax
 
 
+def nuts_unroll() -> bool:
+    """True when the NUTS doubling loop should be unrolled at trace time.
+    Default False everywhere (see module docstring: the nested
+    ``lax.while_loop`` wins ~3x at runtime AND compiles faster cold)."""
+    env = os.environ.get("MAMBA_TPU_UNROLL")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def unroll_loops() -> bool:
-    """True when static loops should be unrolled at trace time (TPU),
-    False for the ``lax.while_loop`` formulation (CPU/GPU/GSPMD)."""
+    """True when small static sweeps (univariate slice) should be unrolled
+    at trace time (TPU), False for the device-loop formulation
+    (CPU/GPU/GSPMD)."""
     env = os.environ.get("MAMBA_TPU_UNROLL")
     if env is not None:
         return env not in ("0", "false", "False")

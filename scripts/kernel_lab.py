@@ -37,11 +37,19 @@ GP = -(-G // 128) * 128          # lane-padded group count
 
 def _data(dtype=jnp.float32):
     rng = np.random.default_rng(0)
-    Xt = jnp.asarray(rng.normal(0, 1, (P, n, GP)), dtype)
-    y = jnp.asarray((rng.random((n, GP)) < 0.5), dtype)
-    betas = jnp.asarray(rng.normal(0, 0.5, (C, P)), dtype)
-    bs = jnp.asarray(rng.normal(0, 0.7, (C, GP)), dtype)
-    return Xt, y, betas, bs
+    Xt = rng.normal(0, 1, (P, n, GP))
+    y = (rng.random((n, GP)) < 0.5).astype(float)
+    betas = rng.normal(0, 0.5, (C, P))
+    bs = rng.normal(0, 0.7, (C, GP))
+    # caller contract (ops/fused_glmm.py kernel docstring): pad lanes
+    # carry ZEROED Xt/y/b — the engine's _pad_lanes guarantees this; a
+    # violation shows up as exactly the pad-lane garbage this lab's r4
+    # accuracy check once mismeasured as "kernel error"
+    Xt[:, :, G:] = 0.0
+    y[:, G:] = 0.0
+    bs[:, G:] = 0.0
+    return (jnp.asarray(Xt, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(betas, dtype), jnp.asarray(bs, dtype))
 
 
 def run():
@@ -121,15 +129,22 @@ def run():
     # not the shipped kernel, and tests/ run the CPU interpreter — this is
     # the compiled kernel's actual gradient error on hardware)
     lp_s, gbeta_s, gb_s = jf(Xt, y, betas, bs)
+
+    def scale_err(a, b):
+        # max |diff| normalized by the reference's own magnitude scale —
+        # elementwise relative error is meaningless where a 10k-term
+        # gradient component happens to cancel near zero
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        return float(jnp.max(jnp.abs(a - b)) / jnp.maximum(
+            jnp.max(jnp.abs(b)), 1e-6))
+
     lp_err = float(jnp.max(jnp.abs((lp_s - vf[0]) / vf[0])))
-    gbeta_err = float(jnp.max(jnp.abs(gbeta_s - vf[1][0])
-                              / (jnp.abs(vf[1][0]) + 1e-3)))
-    gb_err = float(jnp.max(jnp.abs(gb_s[:, :G] - vf[1][1][:, :G])
-                           / (jnp.abs(vf[1][1][:, :G]) + 1e-3)))
+    gbeta_err = scale_err(gbeta_s, vf[1][0])
+    gb_err = scale_err(gb_s[:, :G], vf[1][1][:, :G])
     results["shipped_vs_f32"] = {
         "lp_max_rel_err": round(lp_err, 6),
-        "gbeta_max_rel_err": round(gbeta_err, 6),
-        "gb_max_rel_err": round(gb_err, 6),
+        "gbeta_err_vs_grad_scale": round(gbeta_err, 6),
+        "gb_err_vs_grad_scale": round(gb_err, 6),
         "ok_at_1e-2": bool(max(lp_err, gbeta_err, gb_err) < 1e-2),
     }
     assert results["shipped_vs_f32"]["ok_at_1e-2"], results["shipped_vs_f32"]

@@ -17,6 +17,7 @@ file is absent).
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -241,6 +242,17 @@ def main():
     except Exception as e:  # keep the headline metric even if stretch fails
         glmm_extra = {"error": f"{type(e).__name__}: {e}"}
 
+    # r4 verdict #1: a shipped artifact must never pass silently with a
+    # failed gate.  Collect every in-bench gate; any False prints a
+    # screaming line after the JSON and exits non-zero.
+    gates = {
+        "golden_match": golden_ok,
+        "chees_golden_match": chees_ok,
+        "glmm_recovery_ok": bool(glmm_extra.get("recovery_ok", False)),
+        "glmm_grad_match": bool(
+            glmm_extra.get("grad_kernel", {}).get("grad_match", False)),
+    }
+
     print(json.dumps({
         "metric": "rats NUTS samples/sec/chip",
         "value": round(samples_s, 1),
@@ -263,8 +275,15 @@ def main():
             "chees_golden_match": chees_ok,
             "chees_rhat_rank_max": round(chees_rhat, 4),
             "glmm_10k_stretch": glmm_extra,
+            "gates": gates,
         },
     }))
+    failed = [k for k, v in gates.items() if not v]
+    if failed:
+        print(f"BENCH GATE FAILURE: {failed} — the numbers above do not "
+              f"count (r4 verdict #1: gate failures are fatal, not silent)",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

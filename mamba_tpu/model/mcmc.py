@@ -106,7 +106,8 @@ _KEPT_BUFFER_BYTES = 2 * 1024**3
 
 
 def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
-                 *, meter=None, launch_iters=2000, max_live_bytes=None):
+                 *, meter=None, launch_iters=2000, max_live_bytes=None,
+                 jit_cache=None):
     """Execute the warmup + sampling scans as a sequence of bounded device
     launches.
 
@@ -122,7 +123,11 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     if max_live_bytes is None:
         max_live_bytes = int(os.environ.get(
             "MAMBA_TPU_KEPT_BUFFER_BYTES", _KEPT_BUFFER_BYTES))
-    jitted = {}
+    # cross-call program cache (see _engine_cache): a repeat mcmc() on the
+    # same (model, config) reuses the SAME jit-wrapped scan callables, so
+    # the ~seconds of per-call retrace/relower vanish from the warm path
+    # (r4 verdict #5: ~6 s of iteration-count-independent overhead)
+    jitted = {} if jit_cache is None else jit_cache
 
     def warm_fn(length):
         if ("w", length) not in jitted:
@@ -210,7 +215,8 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
         return True
 
     pre = None
-    if burnin and kept_sizes and _single_device(carry0):
+    cache_warm = all(("k", n) in jitted for n in kept_sizes)
+    if burnin and kept_sizes and not cache_warm and _single_device(carry0):
         pre = threading.Thread(target=_precompile_kept, daemon=True)
         pre.start()
 
@@ -250,7 +256,11 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
                 key_f, state_f, tunes_f, r = aot[ck](*carry)
             else:
                 raise KeyError(ck)
-        except (KeyError, TypeError, ValueError):
+        except Exception:
+            # ANY AOT-call failure (missing entry, donation/sharding/layout
+            # mismatch surfacing as XlaRuntimeError, ...) degrades to the
+            # always-safe synchronous jit path instead of aborting a long
+            # sampling run mid-flight (r4 advisor)
             key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
         carry = (key_f, state_f, tunes_f)
         device_pieces.append(r)
@@ -286,6 +296,32 @@ def _build_kernels(cm: CompiledModel):
     if not specs:
         raise ValueError("model has no sampler blocks; call set_samplers first")
     return [s.build(cm) for s in specs]
+
+
+def _cache_key(model, inputs, example_inits, thin, dtype, mesh, chain_axis,
+               site_specs):
+    """Cross-call engine-cache key: everything that changes the traced
+    programs.  Input ARRAYS are content-hashed (they are baked into the
+    compiled HLO as constants — an in-place mutation must miss); init
+    values are not (they enter as runtime state), only their shapes."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for k in sorted(inputs or {}):
+        v = inputs[k]
+        v = np.asarray(jax.device_get(v) if isinstance(v, jax.Array) else v)
+        h.update(k.encode())
+        h.update(repr((v.shape, str(v.dtype))).encode())
+        h.update(np.ascontiguousarray(v).tobytes())
+    shapes = tuple(sorted(
+        (k, tuple(np.asarray(jax.device_get(v) if isinstance(v, jax.Array)
+                             else v).shape))
+        for k, v in example_inits.items()))
+    mesh_key = (None if mesh is None
+                else (id(mesh), chain_axis, repr(site_specs)))
+    # the samplers tuple holds strong refs to the spec objects, so their
+    # ids stay valid for the life of the cache entry
+    return (tuple(model.samplers), thin, str(dtype), mesh_key,
+            h.hexdigest(), shapes)
 
 
 def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
@@ -352,9 +388,25 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
             masks = {n: pad_mask(np.asarray(padded[0][n]).shape, p)
                      for n, p in pads.items() if n in stoch}
 
-    cm = compile_model(model, inputs, inits[0] if isinstance(inits, list) else inits,
-                       dtype=dtype, masks=masks)
-    kernels = _build_kernels(cm)
+    # Cross-call engine cache (r4 verdict #5): a repeat mcmc() with the
+    # same model/config skips compile_model, kernel builds, AND the
+    # re-trace of the scan programs (the jitted dict below) — measured
+    # ~6 s of iteration-count-independent warm-path overhead at the rats
+    # bench config, dominated by per-call retracing.  Entries hold the
+    # sampler spec objects in their key, so changing set_samplers, inputs
+    # (content-hashed), init shapes, thin, dtype or mesh misses cleanly.
+    ex_inits = inits[0] if isinstance(inits, list) else inits
+    ck = _cache_key(model, inputs, ex_inits, thin, dtype, mesh, chain_axis,
+                    site_specs)
+    cache = model.__dict__.setdefault("_engine_cache", {})
+    ent = cache.get(ck)
+    if ent is None:
+        cm = compile_model(model, inputs, ex_inits, dtype=dtype, masks=masks)
+        ent = {"cm": cm, "kernels": _build_kernels(cm), "jitted": {}}
+        if len(cache) >= 4:             # bound retained executables
+            cache.pop(next(iter(cache)))
+        cache[ck] = ent
+    cm, kernels = ent["cm"], ent["kernels"]
     state0 = _chain_inits(cm, inits, chains)
     keys = jax.jit(jax.vmap(lambda i: jax.random.fold_in(
         jax.random.key(seed), i)))(jnp.arange(chains))
@@ -403,7 +455,8 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     setup_s = time.time() - t_setup0
     carry, rows, timing = _run_chunked(
         gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,
-        thin, meter=meter, launch_iters=launch_iters)
+        thin, meter=meter, launch_iters=launch_iters,
+        jit_cache=ent["jitted"])
     key_f, state_f, tunes_f = carry
     timing["setup_s"] = setup_s
     if verbose:

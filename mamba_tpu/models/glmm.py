@@ -61,8 +61,17 @@ def build(G: int = 10_000, n: int = 10, seed: int = 0,
         inputs = {"xt": np.ascontiguousarray(X.transpose(2, 1, 0))}
         y_init = np.ascontiguousarray(Y.T)           # (n, G), G on lanes
     else:
+        # Precision.HIGHEST: the einsum's MXU contraction (and the
+        # autodiff-derived backward contraction that produces d/dbeta)
+        # defaults to bf16 products, whose ~2^-8 * sum|terms| absolute
+        # noise dwarfs the near-mode beta gradient (the r4 grad-parity
+        # mystery — see ops/fused_glmm.py).  The contraction is <1% of
+        # this likelihood's FLOPs (the VPU softplus/sigmoid passes
+        # dominate), so exact f32 here is essentially free.
         y_node = Stochastic(2, lambda x, beta, b: Bernoulli(
-            jax.nn.sigmoid(jnp.einsum("gnp,p->gn", x, beta) + b[:, None])),
+            jax.nn.sigmoid(jnp.einsum("gnp,p->gn", x, beta,
+                                      precision=jax.lax.Precision.HIGHEST)
+                           + b[:, None])),
             monitor=False)
         inputs = {"x": X}
         y_init = Y

@@ -17,11 +17,14 @@ Layout: dense-flat — per (chain-block, group-chunk) grid cell every array
 is (Cb, n*Gc) with the n observation rows concatenated along the 128-wide
 lane axis, so each elementwise pass runs at 100% (8, 128)-tile utilization
 across all Cb chains at once; lp/gbeta accumulate across group chunks in
-VMEM (matmul-style grid accumulation) and gbeta's contraction rides the
-MXU.  Pad lanes are zero-filled rather than masked (their exact -log 2
-log-density bias is corrected statically).  Measured at the stretch config
-(1024 chains x 10 obs x 10k groups, v5e): 0.99 ms/call vs 2.40 ms for the
-r02 chain-unrolled layout and 2.92 ms for plain XLA — see KERNEL_LAB.json.
+VMEM (matmul-style grid accumulation) and gbeta's contraction runs at
+exact f32 on the VPU (P mul+reduce passes; the r4 MXU-bf16 contraction's
+absolute noise swamped the cancelling near-mode gradient — see the
+in-kernel comment).  Pad lanes are zero-filled rather than masked (their
+exact -log 2 log-density bias is corrected statically).  Measured at the
+stretch config (1024 chains x 10 obs x 10k groups, v5e): ~1.24 ms/call vs
+2.40 ms for the r02 chain-unrolled layout and ~3.0 ms for plain XLA — see
+KERNEL_LAB.json.
 
 Exposed as ``bernoulli_logit_glmm_loglik(Xt, y, beta, b) -> scalar`` with a
 ``jax.custom_vjp`` whose forward already holds the gradients — NUTS's
@@ -95,16 +98,20 @@ def _kernel(n: int, Gc: int, Xt_ref, y_ref, beta_ref, b_ref,
     for i in range(1, n):
         gb = gb + r[:, i * Gc:(i + 1) * Gc]
     gb_ref[:] = gb
-    # gbeta on the MXU at its native (bf16-product) precision, freeing P
-    # mul+reduce VPU passes.  A deterministic ~1e-3-relative gradient
-    # perturbation is statistically safe: leapfrog with ANY deterministic
-    # gradient field remains volume-preserving (shear updates) and
-    # reversible, and the MH accept uses the exact f32 log-density — so
-    # the stationary distribution is untouched; only proposal quality
-    # shifts, immeasurably.  (f32-exact MXU via Precision.HIGHEST costs
-    # 6 passes and was measured SLOWER than the VPU at 1.9 ms.)
-    gbeta_c = jax.lax.dot_general(r, Xf, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=r.dtype)
+    # gbeta contraction at exact f32 on the VPU: P mul+reduce passes.
+    # The r4 shipped kernel did this on the MXU at its native bf16-product
+    # precision, which carries an absolute error ~2^-8 * sum|r*X| — near a
+    # posterior mode the signed sum cancels ~100x below that scale, so the
+    # gradient was ~11% off at real post-warmup states (BENCH_r04
+    # grad_match:false; the r4 "0.002 vs f32" lab figure probed dispersed
+    # states whose huge gradients hid the same absolute noise — and its
+    # "f32 reference" was itself a default-precision bf16 MXU einsum).
+    # Measured r5 A/B at the stretch config: VPU f32 1238 us vs MXU-bf16
+    # 1069 us vs MXU f32 (Precision.HIGHEST, 6 passes) 1548 us — the +16%
+    # buys an exactly-f32 gradient and stays 2.4x under the generic path.
+    cols = [jnp.sum(r * Xf[p:p + 1, :], axis=1, keepdims=True)
+            for p in range(P)]
+    gbeta_c = jnp.concatenate(cols, axis=1)
 
     @pl.when(j == 0)
     def _init():

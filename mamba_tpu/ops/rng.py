@@ -25,7 +25,13 @@ def gamma_bounded(key, a, shape=(), dtype=None, rounds: int = 8):
     """Draw Gamma(a, 1) variates with a fixed ``rounds``-proposal
     Marsaglia-Tsang sampler (no while_loop; see module docstring).
 
-    ``a`` broadcasts against ``shape`` like ``jax.random.gamma``.
+    Shape contract — NOT ``jax.random.gamma``'s: the result has shape
+    ``tuple(shape) + a.shape`` (one draw per element of ``a``, replicated
+    over the leading ``shape`` dims).  ``jax.random.gamma`` instead
+    requires ``shape`` to already end with a broadcastable ``a.shape`` and
+    returns exactly ``shape``; a drop-in swap with vector ``a`` and
+    non-empty ``shape`` would differ — call with ``shape=()`` (the only
+    form the engine uses) for identical semantics.
     """
     a = jnp.asarray(a)
     dtype = dtype or (a.dtype if jnp.issubdtype(a.dtype, jnp.floating)

@@ -396,9 +396,15 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
 
     # a metric change invalidates the step-size statistics: re-center dual
     # averaging on the current step so it re-adapts under the new mass
-    # (same recovery rule as ChEES, samplers/chees.py)
+    # (same recovery rule as ChEES, samplers/chees.py).  The counter m is
+    # reset too (r4 advisor): the correction gain decays ~1/sqrt(m), so a
+    # late refresh with a large m would re-adapt far more slowly than
+    # Stan's restart-the-window scheme; with m=0 the next window gets full
+    # early-iteration gain (and epsilonbar restarts from the new eps, as
+    # p2 = m^-kappa = 1 at m=1).
     Hbar_new = jnp.where(at_window, jnp.zeros_like(Hbar_new), Hbar_new)
     mu = jnp.where(at_window, jnp.log(10.0 * eps_new), mu)
+    m = jnp.where(at_window, jnp.zeros_like(m), m)
 
     new = NUTSTune(
         epsilon=jnp.where(adapt, eps_new, eps_used),

@@ -108,7 +108,7 @@ def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
         bound = "memory"
     else:
         bound = "compute"
-    return {
+    res = {
         "s_per_call": s, "flops": flops, "bytes": nbytes,
         "gflops_s": round(gf, 2), "gbytes_s": round(gb, 2),
         "pct_flops": None if np.isnan(pct_f) else round(pct_f, 2),
@@ -120,3 +120,13 @@ def roofline(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
         # against vpu_elementwise_ceiling() for such kernels.
         "flops_peak_convention": "bf16 MXU datasheet",
     }
+    # XLA's "bytes accessed" counts every operand/result of every fused
+    # computation ANALYTICALLY — for well-fused programs the intermediates
+    # never leave VMEM, so the count can exceed what HBM could physically
+    # serve.  A >100% figure is therefore a fusion artifact, not real
+    # utilization (r4 advisor: PERF.json published pct_hbm 140).
+    if res["pct_hbm"] is not None and res["pct_hbm"] > 100.0:
+        res["pct_hbm_note"] = (
+            "analytic bytes exceed measured-feasible HBM traffic; fusion "
+            "keeps intermediates on-chip — not real HBM utilization")
+    return res

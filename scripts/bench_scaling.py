@@ -13,13 +13,13 @@ Two measurements, written to SCALING.json at the repo root:
   * ChEES-HMC: identical leapfrog counts on every chain — the lockstep-
     free alternative this framework recommends at high chain counts; its
     throughput curve should be monotone to saturation.
-- ``--mode mesh``  (runs anywhere; uses 8 virtual CPU devices): weak
-  scaling across a device mesh — same per-device chain count on a
-  1-device vs an 8-device mesh.  On virtual devices all shards share the
-  same host cores, so ideal time is 8x the 1-device time; efficiency =
-  8*t1/t8 isolates GSPMD partitioning/collective overhead, which is the
-  only thing a single host can measure (real multi-chip is linear in
-  hardware on top of this, as chains never communicate).
+- ``--mode mesh``  (runs anywhere; CPU devices): honest weak scaling with
+  cores pinned 1:1 to devices — 1 device/1 core vs 2 devices/2 cores vs
+  2 processes (jax.distributed) x 1 device/1 core each, fixed per-device
+  chains, efficiency = t_1dev / t_ndev (ideal 100%).  An 8-virtual-device
+  point is kept but labeled as 4x core-oversubscribed (NOT efficiency).
+  Real multi-chip scaling cannot be measured on this box; chains never
+  communicate, so on hardware it is linear on top of these overheads.
 
 Usage:  python scripts/bench_scaling.py --mode chip|mesh|both
 """
@@ -101,31 +101,133 @@ def mode_chip():
     return out
 
 
-def mode_mesh():
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+PER_DEV_CHAINS = 16
+MESH_ITERS = 300
+
+
+def _mesh_worker(n_devices: int, distributed: str | None = None):
+    """Subprocess body: run the fixed-per-device-chains NUTS config on an
+    ``n_devices``-device CPU mesh and print one JSON line with the
+    barrier-timed sample_s.  ``distributed`` = 'coord,nproc,pid' enables
+    jax.distributed (1 local device per process)."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+    pid = 0
+    if distributed:
+        coord, nproc, pid = distributed.split(",")
+        nproc, pid = int(nproc), int(pid)
+        from mamba_tpu.parallel import distributed_init
+        distributed_init(coordinator_address=coord, num_processes=nproc,
+                         process_id=pid)
 
     import mamba_tpu as mt
     from mamba_tpu.parallel import make_mesh
 
-    per_dev = 16
-    iters = 300
-    m1 = make_mesh({"chains": 1}, jax.devices()[:1])
-    m8 = make_mesh({"chains": 8}, jax.devices())
-    r1, t1 = _run(mt, "nuts", per_dev, mesh=m1, iters=iters)
-    r8, t8 = _run(mt, "nuts", 8 * per_dev, mesh=m8, iters=iters)
-    eff = 100.0 * (8 * t1) / t8      # shared-core ideal is 8x the time
-    print(f"1-dev mesh : {per_dev} chains   {t1:.2f}s  "
-          f"{r1['samples_s']:,.0f} samples/s")
-    print(f"8-dev mesh : {8 * per_dev} chains  {t8:.2f}s  "
-          f"{r8['samples_s']:,.0f} samples/s")
-    print(f"weak-scaling efficiency (GSPMD overhead proxy): {eff:.1f}%")
-    return {"per_device_chains": per_dev, "iters": iters,
-            "t_1dev_s": round(t1, 2), "t_8dev_s": round(t8, 2),
-            "samples_s_1dev": r1["samples_s"], "samples_s_8dev": r8["samples_s"],
-            "weak_scaling_efficiency_pct": round(eff, 1)}
+    total_dev = len(jax.devices())
+    mesh = make_mesh({"chains": total_dev}, jax.devices())
+    row, t = _run(mt, "nuts", PER_DEV_CHAINS * total_dev, mesh=mesh,
+                  iters=MESH_ITERS)
+    if pid == 0:
+        print("RESULT " + json.dumps({"devices": total_dev, "t_s": round(t, 3),
+                                      "samples_s": row["samples_s"]}),
+              flush=True)
+
+
+def _spawn_pinned(cores: str, extra_args, env_extra=None):
+    """Run this script as a core-pinned subprocess; return its RESULT dict."""
+    import subprocess
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra or {})
+    cmd = ["taskset", "-c", cores, sys.executable,
+           os.path.abspath(__file__)] + extra_args
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker produced no RESULT\nrc={p.returncode}\n"
+                       f"stdout:{p.stdout}\nstderr:{p.stderr}")
+
+
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def mode_mesh():
+    """Weak scaling with fixed per-device chains, measured HONESTLY for a
+    host with few cores (r4 verdict #4: the old 8-virtual-devices-on-2-cores
+    number multiplied a speedup by 100 and called it efficiency).
+
+    The only configuration this box can measure without oversubscription is
+    one where cores scale with devices: 1 device pinned to 1 core vs
+    2 devices pinned to 2 cores (same per-device chains — ideal weak
+    scaling keeps wall time constant).  A third point runs the 2 devices as
+    2 OS PROCESSES under jax.distributed (1 core + 1 device each), pricing
+    the cross-process GSPMD dispatch the multi-host path adds.  Efficiency
+    = t_1dev / t_Ndev, <= ~100% by construction.  Real multi-chip scaling
+    cannot be measured on this machine at all — chains never communicate,
+    so on real hardware it is linear by construction on top of these
+    overheads (BASELINE.md north-star note)."""
+    import multiprocessing
+    ncores = multiprocessing.cpu_count()
+    out = {"per_device_chains": PER_DEV_CHAINS, "iters": MESH_ITERS,
+           "physical_cores": ncores,
+           "method": "cores pinned 1:1 to devices (taskset); "
+                     "efficiency = t_1dev / t_ndev, ideal 100%"}
+    r1 = _spawn_pinned("0", ["--mode", "mesh-worker", "--ndev", "1"])
+    out["t_1dev_1core_s"] = r1["t_s"]
+    r2 = _spawn_pinned("0,1", ["--mode", "mesh-worker", "--ndev", "2"])
+    out["t_2dev_2core_s"] = r2["t_s"]
+    out["weak_scaling_efficiency_2dev_pct"] = round(
+        100.0 * r1["t_s"] / r2["t_s"], 1)
+
+    # 2 processes x 1 device, one core each, under jax.distributed
+    import subprocess
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(i), sys.executable, os.path.abspath(__file__),
+         "--mode", "mesh-worker", "--ndev", "1",
+         "--distributed", f"{coord},2,{i}"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=3600) for p in procs]
+    res = None
+    for (so, se), p in zip(outs, procs):
+        if p.returncode != 0:
+            raise RuntimeError(f"distributed worker rc={p.returncode}\n{se}")
+        for line in so.splitlines():
+            if line.startswith("RESULT "):
+                res = json.loads(line[len("RESULT "):])
+    out["t_2proc_2core_s"] = res["t_s"]
+    out["weak_scaling_efficiency_2proc_pct"] = round(
+        100.0 * r1["t_s"] / res["t_s"], 1)
+
+    # the old oversubscribed point, kept but labeled for what it is: 8
+    # virtual devices sharing the same cores measures GSPMD partitioning
+    # overhead UNDER 4x core oversubscription, not scaling efficiency
+    r8 = _spawn_pinned("0,1", ["--mode", "mesh-worker", "--ndev", "8"])
+    out["oversubscribed_8dev_2core"] = {
+        "t_8dev_s": r8["t_s"],
+        "note": "8 virtual devices on 2 cores (4x oversubscribed): wall "
+                "time includes core contention; NOT a scaling-efficiency "
+                "measurement",
+        "throughput_ratio_vs_1dev": round(
+            (8 * PER_DEV_CHAINS * MESH_ITERS / r8["t_s"])
+            / (PER_DEV_CHAINS * MESH_ITERS / r1["t_s"]), 2)}
+    for k, v in out.items():
+        print(f"{k}: {v}")
+    return out
 
 
 def mode_ab():
@@ -153,8 +255,14 @@ def main():
     ap = argparse.ArgumentParser()
     # one mode per process: chip needs the TPU platform, mesh forces CPU,
     # and a JAX backend can't be switched after initialization
-    ap.add_argument("--mode", choices=["chip", "mesh", "ab"], required=True)
+    ap.add_argument("--mode", choices=["chip", "mesh", "ab", "mesh-worker"],
+                    required=True)
+    ap.add_argument("--ndev", type=int, default=1)
+    ap.add_argument("--distributed", default=None)
     args = ap.parse_args()
+    if args.mode == "mesh-worker":
+        _mesh_worker(args.ndev, args.distributed)
+        return
     out = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -164,7 +272,8 @@ def main():
     elif args.mode == "ab":
         out["nuts_loop_formulation_ab"] = mode_ab()
     else:
-        out["virtual_mesh_weak_scaling"] = mode_mesh()
+        out.pop("virtual_mesh_weak_scaling", None)   # superseded (r4 #4)
+        out["pinned_core_weak_scaling"] = mode_mesh()
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {OUT}")

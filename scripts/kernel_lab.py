@@ -35,12 +35,16 @@ C, P, n, G = 1024, 4, 10, 10_000
 GP = -(-G // 128) * 128          # lane-padded group count
 
 
-def _data(dtype=jnp.float32):
+def _data(dtype=jnp.float32, scale=0.5):
+    """``scale`` sets the state dispersion: 0.5 = far-from-mode (huge
+    gradients), 0.01 = near-mode (the signed gradient sums cancel ~100x
+    below the |term|-sum scale — the regime that exposed the r4 bf16
+    contraction noise at real post-warmup chain states)."""
     rng = np.random.default_rng(0)
     Xt = rng.normal(0, 1, (P, n, GP))
     y = (rng.random((n, GP)) < 0.5).astype(float)
-    betas = rng.normal(0, 0.5, (C, P))
-    bs = rng.normal(0, 0.7, (C, GP))
+    betas = rng.normal(0, scale, (C, P))
+    bs = rng.normal(0, 1.4 * scale, (C, GP))
     # caller contract (ops/fused_glmm.py kernel docstring): pad lanes
     # carry ZEROED Xt/y/b — the engine's _pad_lanes guarantees this; a
     # violation shows up as exactly the pad-lane garbage this lab's r4
@@ -97,11 +101,12 @@ def run():
     }
 
     # --- generic XLA A/B, f32 and bf16-compute ------------------------------
-    def make_xla(compute_dtype):
+    def make_xla(compute_dtype, precision=None):
         def one(Xt, y, beta, b):
             def lp(be, bb):
                 Xc = Xt[:, :, :G].astype(compute_dtype)
-                l = jnp.einsum("pig,p->ig", Xc, be.astype(compute_dtype))
+                l = jnp.einsum("pig,p->ig", Xc, be.astype(compute_dtype),
+                               precision=precision)
                 l = l + bb[:G].astype(compute_dtype)[None, :]
                 t = (y[:, :G] * l.astype(jnp.float32)
                      - jax.nn.softplus(l).astype(jnp.float32))
@@ -109,45 +114,54 @@ def run():
             return jax.value_and_grad(lp, argnums=(0, 1))(beta, b)
         return jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)))
 
-    for name, dt in (("xla_generic_f32", jnp.float32),
-                     ("xla_generic_bf16", jnp.bfloat16)):
-        f = make_xla(dt)
+    HI = jax.lax.Precision.HIGHEST
+    for name, dt, prec in (("xla_generic_f32", jnp.float32, HI),
+                           ("xla_generic_bf16", jnp.bfloat16, None)):
+        f = make_xla(dt, prec)
         s = time_compiled(f, Xt, y, betas, bs, iters=30)
         results[name] = {"us": round(s * 1e6, 1)}
-
-    # numerical check of the bf16 path against f32 (max rel error on grads)
-    vf = make_xla(jnp.float32)(Xt, y, betas, bs)
-    vb = make_xla(jnp.bfloat16)(Xt, y, betas, bs)
-    rel = float(jnp.max(jnp.abs((vb[0] - vf[0]) / vf[0])))
-    grel = float(jnp.max(jnp.abs(vb[1][0] - vf[1][0])
-                         / (jnp.abs(vf[1][0]) + 1e-3)))
-    results["bf16_vs_f32"] = {"lp_max_rel_err": round(rel, 5),
-                              "gbeta_max_rel_err": round(grel, 5)}
-
-    # numerical check of the SHIPPED kernel against the f32 XLA reference
-    # (r3 advisor: the 0.61 figure above measures the all-bf16 XLA path,
-    # not the shipped kernel, and tests/ run the CPU interpreter — this is
-    # the compiled kernel's actual gradient error on hardware)
-    lp_s, gbeta_s, gb_s = jf(Xt, y, betas, bs)
 
     def scale_err(a, b):
         # max |diff| normalized by the reference's own magnitude scale —
         # elementwise relative error is meaningless where a 10k-term
         # gradient component happens to cancel near zero
-        a, b = jnp.asarray(a), jnp.asarray(b)
-        return float(jnp.max(jnp.abs(a - b)) / jnp.maximum(
-            jnp.max(jnp.abs(b)), 1e-6))
+        a, b = np.asarray(a), np.asarray(b)
+        return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-6))
 
-    lp_err = float(jnp.max(jnp.abs((lp_s - vf[0]) / vf[0])))
-    gbeta_err = scale_err(gbeta_s, vf[1][0])
-    gb_err = scale_err(gb_s[:, :G], vf[1][1][:, :G])
-    results["shipped_vs_f32"] = {
-        "lp_max_rel_err": round(lp_err, 6),
-        "gbeta_err_vs_grad_scale": round(gbeta_err, 6),
-        "gb_err_vs_grad_scale": round(gb_err, 6),
-        "ok_at_1e-2": bool(max(lp_err, gbeta_err, gb_err) < 1e-2),
-    }
-    assert results["shipped_vs_f32"]["ok_at_1e-2"], results["shipped_vs_f32"]
+    # --- gradient accuracy vs an EXACT reference, in BOTH state regimes -----
+    # The r4 lab compared against a default-precision einsum whose own MXU
+    # backward contraction is bf16 — i.e. two noisy measurements of each
+    # other — and probed only dispersed states whose huge gradient scale hid
+    # the absolute noise (BENCH_r04 then found 0.11 at real post-warmup
+    # states).  The reference here is Precision.HIGHEST (exact f32
+    # contraction); near-mode states are the hard regime.
+    exact_fn = make_xla(jnp.float32, HI)
+    default_fn = make_xla(jnp.float32, None)
+    acc = {}
+    worst = 0.0
+    for label, sc in (("dispersed", 0.5), ("near_mode", 0.01)):
+        Xa, ya, betasa, bsa = _data(scale=sc)
+        ve = exact_fn(Xa, ya, betasa, bsa)
+        vd = default_fn(Xa, ya, betasa, bsa)
+        lp_s, gbeta_s, gb_s = jf(Xa, ya, betasa, bsa)
+        lp_err = float(jnp.max(jnp.abs((lp_s - ve[0]) / ve[0])))
+        gbeta_err = scale_err(gbeta_s, ve[1][0])
+        gb_err = scale_err(gb_s[:, :G], ve[1][1][:, :G])
+        acc[label] = {
+            "grad_scale": round(float(jnp.max(jnp.abs(ve[1][0]))), 1),
+            "shipped_lp_max_rel_err": round(lp_err, 6),
+            "shipped_gbeta_err_vs_grad_scale": round(gbeta_err, 6),
+            "shipped_gb_err_vs_grad_scale": round(gb_err, 6),
+            # the default-precision einsum's own error, for context: this
+            # is what the engine would ship with a naive fused=False build
+            # (models/glmm.py now forces HIGHEST on that contraction too)
+            "xla_default_prec_gbeta_err": round(
+                scale_err(vd[1][0], ve[1][0]), 6),
+        }
+        worst = max(worst, lp_err, gbeta_err, gb_err)
+    acc["ok_at_1e-2"] = bool(worst < 1e-2)
+    results["grad_accuracy_vs_exact"] = acc
+    assert acc["ok_at_1e-2"], acc
 
     print(json.dumps(results, indent=1))
     with open(os.path.join(ROOT, "KERNEL_LAB.json"), "w") as f:

@@ -60,6 +60,39 @@ def test_engine_deterministic():
     assert not np.array_equal(a.value, c.value)
 
 
+def test_engine_cache_reuse_and_invalidation():
+    """The cross-call engine cache (model/mcmc.py _cache_key, r4 verdict
+    #5) must (a) reuse the compiled programs on an identical repeat call,
+    (b) hit on same-CONTENT inputs regardless of array identity, and
+    (c) miss when input contents or the sampler scheme change."""
+    model, inputs, inits = line_model()
+    model.set_samplers([mt.HMC("beta", 0.1, 10), mt.Slice("s2", 3.0)])
+    a = mt.mcmc(model, inputs, inits, 100, burnin=30, chains=2, seed=3,
+                verbose=False)
+    cache = model._engine_cache
+    assert len(cache) == 1
+    ent = next(iter(cache.values()))
+    assert ent["jitted"], "scan programs should be cached after a run"
+    b = mt.mcmc(model, inputs, inits, 100, burnin=30, chains=2, seed=3,
+                verbose=False)
+    np.testing.assert_array_equal(a.value, b.value)
+    assert len(cache) == 1 and next(iter(cache.values())) is ent
+    # same content, different array object -> hit
+    inputs_same = {"xmat": np.asarray(inputs["xmat"]).copy()}
+    mt.mcmc(model, inputs_same, inits, 100, burnin=30, chains=2,
+            verbose=False)
+    assert len(cache) == 1
+    # changed input content -> miss (inputs are baked as constants)
+    inputs_new = {"xmat": np.asarray(inputs["xmat"]) + 1.0}
+    mt.mcmc(model, inputs_new, inits, 100, burnin=30, chains=2,
+            verbose=False)
+    assert len(cache) == 2
+    # changed sampler scheme -> miss
+    model.set_samplers([mt.NUTS("beta"), mt.Slice("s2", 3.0)])
+    mt.mcmc(model, inputs, inits, 100, burnin=30, chains=2, verbose=False)
+    assert len(cache) == 3
+
+
 def test_restart_continues_chain():
     model, inputs, inits = line_model()
     model.set_samplers([mt.NUTS("beta"), mt.Slice("s2", 3.0)])

@@ -211,18 +211,32 @@ def _glmm_run(chains=1024, iters=1300, burnin=300, G=10_000):
 
 def main():
     model, inputs, inits = rats.build("nuts")
+    # launch_iters=500: every phase runs in 500-iteration chunks, so the
+    # 1500- and 1000-iteration runs below share the SAME two compiled
+    # programs (warm(500), kept(500)) — which makes the fixed-overhead
+    # decomposition below an apples-to-apples subtraction.
+    kw = dict(burnin=BURNIN, thin=1, chains=CHAINS, verbose=False,
+              launch_iters=500)
     t0 = time.time()
-    sim = mt.mcmc(model, inputs, inits, ITERS, burnin=BURNIN, thin=1,
-                  chains=CHAINS, verbose=False)
+    sim = mt.mcmc(model, inputs, inits, ITERS, **kw)
     cold = time.time() - t0
 
-    # warm run: compile cache hit -> pure sampling throughput.  sample_s is
-    # the queue-drain-barrier device time (utils/timing.py); the ~1 s
-    # tunnel fetch of the kept draws is reported separately as fetch_s.
-    sim = mt.mcmc(model, inputs, inits, ITERS, burnin=BURNIN, thin=1,
-                  chains=CHAINS, verbose=False)
+    # warm run: engine-cache hit (compiled programs AND traces reused) ->
+    # pure sampling throughput.  sample_s is the queue-drain-barrier device
+    # time (utils/timing.py); the ~1 s tunnel fetch of the kept draws is
+    # reported separately as fetch_s.
+    sim = mt.mcmc(model, inputs, inits, ITERS, **kw)
     warm = sim.timing["sample_s"]
     fetch = sim.timing["fetch_s"]
+
+    # iteration-count-independent overhead (r4 verdict #5): a second warm
+    # run 500 kept iterations shorter, same compiled programs; the
+    # extrapolated zero-iteration intercept is the engine's fixed per-call
+    # cost (tune-init epsilon search, first-launch dispatch, host sync).
+    sim_b = mt.mcmc(model, inputs, inits, ITERS - 500, **kw)
+    warm_b = sim_b.timing["sample_s"]
+    marginal_s = max(warm - warm_b, 1e-9) / 500.0
+    fixed_s = warm - ITERS * marginal_s
 
     samples_s = CHAINS * ITERS / warm
     s = mt.summarystats(sim).to_dict()
@@ -262,6 +276,9 @@ def main():
             "device": str(jax.devices()[0]),
             "chains": CHAINS, "iters": ITERS,
             "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            "warm_1000iter_s": round(warm_b, 2),
+            "marginal_ms_per_iter": round(marginal_s * 1e3, 3),
+            "fixed_overhead_s": round(fixed_s, 2),
             "fetch_s": round(fetch, 2),
             "ess_per_sec_total": round(ess_total_s, 1),
             "ess_per_sec_min_param": round(ess_min_s, 1),

@@ -185,7 +185,20 @@ def smc(model: Model, inputs: dict, inits: dict, params=None, *,
         z, logZ, stages, essf = run(key)
 
     values = jax.jit(jax.vmap(lambda v: unpack(v, state0)))(z)
+
+    def _to_host(a):
+        if not getattr(a, "is_fully_addressable", True):
+            # multi-process mesh: each process holds only its particle
+            # shard — all-gather to replicated on device so every host
+            # returns the full particle set (same pattern as the engine's
+            # monitored-row gather, model/mcmc.py _to_host)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(a.sharding.mesh, PartitionSpec())
+            a = jax.jit(lambda x: x, out_shardings=rep)(a)
+            a = a.addressable_data(0)
+        return np.asarray(a)
+
     return SMCResult(
-        particles={k: np.asarray(v) for k, v in values.items()},
+        particles={k: _to_host(v) for k, v in values.items()},
         log_evidence=float(logZ), n_stages=int(stages),
         ess_final=float(essf), params=params)

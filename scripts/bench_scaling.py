@@ -48,6 +48,17 @@ def _build(sampler):
         model.set_samplers([S.ChEESHMC(model.samplers[0].params,
                                        mass_window=50),
                             *model.samplers[1:]])
+        # ChEES's initialization contract (samplers/chees.py docstring):
+        # shared cross-chain adaptation requires chains started together.
+        # The r4 sweep fed it the over-dispersed two-point NUTS inits and
+        # hit a 13x ESS/s collapse at 64 chains — reproduced and
+        # diagnosed r5 (/tmp experiment, now tests/test_chees.py
+        # ::test_chees_ess_scales_with_chains): the pooled step size
+        # strangles to ~0.01 (vs 0.165 warm) accommodating the far-mode
+        # half and the rank-R-hat blows to 1.6.  Shared init is the
+        # contract; over-dispersed inits belong to per-chain-adaptive
+        # samplers (NUTS rows keep them).
+        inits = [inits[0]]
     return model, inputs, inits
 
 
@@ -72,6 +83,17 @@ def _run(mt, sampler, chains, mesh=None, iters=ITERS):
         depth = np.asarray(sim.states["tunes"][0].depth)
         row["depth_mean"] = round(float(depth.mean()), 2)
         row["depth_max"] = int(depth.max())
+    else:
+        # adaptation end-state diagnostics (r4 verdict #3: the 64-chain
+        # ESS/s dip needed tune introspection to explain)
+        t = sim.states["tunes"][0]
+        row["traj"] = round(float(np.asarray(t.traj)[0]), 4)
+        row["epsilonbar"] = round(float(np.asarray(t.epsilonbar)[0]), 5)
+        row["steps_per_iter_max"] = int(np.ceil(
+            float(np.asarray(t.traj)[0]) / max(float(
+                np.asarray(t.epsilonbar)[0]), 1e-12)))
+        row["rhat_rank_max"] = round(float(np.max(
+            mt.rhat_rank(np.asarray(sim.value)))), 4)
     return row, dt
 
 
@@ -81,7 +103,18 @@ def mode_chip():
     import mamba_tpu as mt
 
     dev = jax.devices()[0]
-    out = {"device": str(dev), "iters": ITERS, "burnin": BURNIN}
+    from mamba_tpu.utils.backend import nuts_unroll
+    import subprocess
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True,
+                            cwd=ROOT).stdout.strip()
+    # r4 verdict #2: stamp the loop formulation + commit the sweep was
+    # measured at (the r4 table was silently measured under the
+    # non-default unrolled arm and understated the engine ~3x)
+    out = {"device": str(dev), "iters": ITERS, "burnin": BURNIN,
+           "nuts_formulation": ("unrolled" if nuts_unroll()
+                                else "nested_while (default)"),
+           "commit": commit}
     for sampler in ("nuts", "chees"):
         rows = []
         base = None

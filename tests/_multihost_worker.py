@@ -59,13 +59,38 @@ def main():
              "beta": jnp.zeros(2), "s2": 1.0}
 
     mode = sys.argv[4] if len(sys.argv) > 4 else "1d"
+    if mode == "smc":
+        # SMC with the particle axis sharded ACROSS processes: the
+        # resampling gather and ESS psum ride the inter-process links
+        # (r4 verdict #8; single-process version in tests/test_infer.py)
+        y = jnp.array([1.1, 0.7, 1.4, 0.9, 1.2, 1.0, 0.8, 1.3])
+        cmodel = mt.Model(
+            y=mt.Stochastic(1, lambda mu: mt.Normal(mu * jnp.ones(8), 1.0),
+                            monitor=False),
+            mu=mt.Stochastic(lambda: mt.Normal(0.0, jnp.sqrt(2.0))))
+        cmodel.set_samplers([mt.NUTS("mu")])
+        mesh = global_mesh({"chains": 2 * nproc})
+        r = mt.smc(cmodel, {}, {"y": y, "mu": 0.0}, n_particles=512,
+                   mesh=mesh, seed=4)
+        if pid == 0:
+            print(json.dumps({
+                "mu_mean": float(r.particles["mu"].mean()),
+                "n_particles": int(r.particles["mu"].shape[0]),
+                "processes": jax.process_count(),
+                "devices": len(jax.devices()),
+            }), flush=True)
+        return
     if mode == "2d":
         from jax.sharding import PartitionSpec as P
         mesh = global_mesh({"chains": nproc, "data": 2})
         site_specs = {"y": P("data"), "xmat": P("data", None)}
-    else:
+    else:   # "1d" (HMC+Slice) or "chees" (cross-process pmean collectives)
         mesh = global_mesh({"chains": 2 * nproc})
         site_specs = None
+    if mode == "chees":
+        # cross-chain adaptation: every pmean in chees_step becomes an
+        # all-reduce over the inter-process links (r4 verdict #8)
+        model.set_samplers([mt.ChEESHMC("beta"), mt.Slice("s2", 2.0)])
     sim = mt.mcmc(model, {"xmat": X}, [inits], 600, burnin=200,
                   chains=4 * nproc, seed=19, verbose=False, mesh=mesh,
                   site_specs=site_specs)

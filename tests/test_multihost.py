@@ -53,8 +53,9 @@ def _run_workers(mode: str):
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
     res = json.loads(outs[0][1].strip().splitlines()[-1])
     assert res["processes"] == 2 and res["devices"] == 4
-    # all 8 chains' draws gathered on process 0
-    assert res["shape"][2] == 8, res["shape"]
+    if "shape" in res:
+        # all 8 chains' draws gathered on process 0
+        assert res["shape"][2] == 8, res["shape"]
     return res
 
 
@@ -128,3 +129,28 @@ def test_two_process_2d_mesh_sharded_likelihood():
     np.testing.assert_allclose(res["beta1"], s["beta[1]"]["Mean"], atol=0.3)
     np.testing.assert_allclose(res["beta2"], s["beta[2]"]["Mean"], atol=0.1)
     assert 0.3 < res["s2"] < 4.0
+
+
+@pytest.mark.slow
+def test_two_process_chees_cross_process_pmean():
+    """ChEES-HMC under a 2-process mesh: the per-iteration ``lax.pmean``
+    adaptation statistics all-reduce across the process boundary (r4
+    verdict #8 — previously only covered by the single-process mesh test
+    tests/test_parallel_engine.py::test_chees_under_mesh)."""
+    res = _run_workers("chees")
+    # the line posterior's scale is well known; cross-process adaptation
+    # diverging would blow these straight past the tolerance
+    assert abs(res["beta1"] - 0.6) < 1.0, res
+    assert abs(res["beta2"] - 0.8) < 0.3, res
+    assert 0.3 < res["s2"] < 5.0, res
+
+
+@pytest.mark.slow
+def test_two_process_smc_sharded_particles():
+    """SMC with the particle axis sharded across 2 processes: systematic
+    resampling's gather and the ESS psum ride the inter-process links;
+    the result must match the conjugate posterior mean (r4 verdict #8)."""
+    res = _run_workers("smc")
+    m_exact = (1 / (8 + 0.5)) * 8.4   # conjugate_model() posterior mean
+    assert res["n_particles"] == 512
+    assert abs(res["mu_mean"] - m_exact) < 0.08, res

@@ -130,6 +130,8 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     jitted = {} if jit_cache is None else jit_cache
 
     def warm_fn(length):
+        """Row-free warmup program — only used for the burnin % thin
+        remainder (phase_fn below covers whole-row chunks)."""
         if ("w", length) not in jitted:
             def warm_only(key, state, tunes):
                 def warm(c, _):
@@ -142,29 +144,35 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
                 jax.vmap(warm_only, axis_name=CHAIN_AXIS))
         return jitted[("w", length)]
 
-    def kept_fn(rows_n):
-        if ("k", rows_n) not in jitted:
-            def kept_chunk(key, state, tunes):
-                def kept(c, _):
+    def phase_fn(rows_n):
+        """ONE program for both phases: ``adapt`` is a traced scalar input,
+        so warmup chunks and kept chunks of the same row count share a
+        single XLA compile (r4 verdict #6 — the separate warm/kept
+        programs put two ~30 s compiles on the rats-bench cold path; the
+        warm phase simply discards the emitted rows, and the dead
+        adaptation arithmetic in the kept phase is a few elementwise
+        passes over tune vectors, noise next to the leapfrog work)."""
+        if ("p", rows_n) not in jitted:
+            def chunk(key, state, tunes, adapt):
+                def step(c, _):
                     if thin == 1:
                         # no inner scan at thin=1: scan->scan->while_loop is
                         # a three-deep loop nest, which the TPU compiler
                         # handles pathologically (see samplers/nuts.py
                         # doubling-unroll note)
-                        c = gibbs_iter(*c, jnp.asarray(False))
+                        c = gibbs_iter(*c, adapt)
                         return c, pack_monitored(c[1])
                     def inner(c2, _):
                         key, state, tunes = c2
-                        return gibbs_iter(key, state, tunes,
-                                          jnp.asarray(False)), None
+                        return gibbs_iter(key, state, tunes, adapt), None
                     c, _ = jax.lax.scan(inner, c, length=thin)
                     return c, pack_monitored(c[1])
                 (key, state, tunes), rows = jax.lax.scan(
-                    kept, (key, state, tunes), length=rows_n)
+                    step, (key, state, tunes), length=rows_n)
                 return key, state, tunes, rows
-            jitted[("k", rows_n)] = jax.jit(
-                jax.vmap(kept_chunk, axis_name=CHAIN_AXIS))
-        return jitted[("k", rows_n)]
+            jitted[("p", rows_n)] = jax.jit(jax.vmap(
+                chunk, axis_name=CHAIN_AXIS, in_axes=(0, 0, 0, None)))
+        return jitted[("p", rows_n)]
 
     from ..utils.timing import device_sync
 
@@ -181,24 +189,27 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
             r = r.addressable_data(0)
         return np.asarray(r)
 
-    # Overlap the kept-phase compile with the warmup phase: XLA compiles of
-    # the two scan programs are independent, and the kept compile (the
-    # larger: ~31 s for the rats bench program) otherwise sits on the cold
-    # critical path AFTER warmup finishes.  A daemon thread AOT-lowers and
-    # compiles the kept programs while warmup executes (tracing holds the
-    # GIL briefly; the XLA compile itself releases it); the kept loop then
-    # joins and reuses the warm jit-cache entries via the persistent
-    # compilation cache.
+    # Warmup runs through the SAME unified phase programs as the kept loop
+    # (adapt=True, rows discarded), so by the time sampling starts its
+    # programs are already compiled.  Only kept chunk sizes that no warm
+    # chunk covers still need a compile — those are AOT-compiled on a
+    # daemon thread WHILE warmup executes (tracing holds the GIL briefly;
+    # the XLA compile itself releases it), keeping them off the cold
+    # critical path.
     import threading
 
     kept_sizes = _chunk_sizes(n_kept, max(1, launch_iters // thin))
+    warm_rows, warm_rem = divmod(burnin, thin)
+    warm_chunks = _chunk_sizes(warm_rows, max(1, launch_iters // thin))
     aot: dict = {}
     carry0 = carry      # avals only; the warm loop rebinds `carry`
+    adapt_off = jnp.asarray(False)
 
     def _precompile_kept():
         try:
-            for rows_n in sorted(set(kept_sizes)):
-                aot[rows_n] = kept_fn(rows_n).lower(*carry0).compile()
+            for rows_n in sorted(set(kept_sizes) - set(warm_chunks)):
+                aot[rows_n] = phase_fn(rows_n).lower(
+                    *carry0, adapt_off).compile()
         except Exception:       # fall back to the synchronous compile path
             aot.clear()
 
@@ -215,17 +226,23 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
         return True
 
     pre = None
-    cache_warm = all(("k", n) in jitted for n in kept_sizes)
-    if burnin and kept_sizes and not cache_warm and _single_device(carry0):
+    missing = set(kept_sizes) - set(warm_chunks) - {
+        n for n in kept_sizes if ("p", n) in jitted}
+    if burnin and missing and _single_device(carry0):
         pre = threading.Thread(target=_precompile_kept, daemon=True)
         pre.start()
 
     t0 = time.time()
-    for cw in _chunk_sizes(burnin, launch_iters):
-        carry = warm_fn(cw)(*carry)
+    adapt_on = jnp.asarray(True)
+    for rw in warm_chunks:
+        key_w, state_w, tunes_w, _rows = phase_fn(rw)(*carry, adapt_on)
+        carry = (key_w, state_w, tunes_w)
+        del _rows               # warmup rows are discarded
         if meter is not None:
             device_sync(carry[1])
-            meter.update(cw)
+            meter.update(rw * thin)
+    if warm_rem:
+        carry = warm_fn(warm_rem)(*carry)
     if pre is not None:
         pre.join()
 
@@ -253,7 +270,7 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
     for ck in kept_sizes:
         try:
             if ck in aot:
-                key_f, state_f, tunes_f, r = aot[ck](*carry)
+                key_f, state_f, tunes_f, r = aot[ck](*carry, adapt_off)
             else:
                 raise KeyError(ck)
         except Exception:
@@ -261,7 +278,7 @@ def _run_chunked(gibbs_iter, pack_monitored, carry, burnin, n_kept, thin,
             # mismatch surfacing as XlaRuntimeError, ...) degrades to the
             # always-safe synchronous jit path instead of aborting a long
             # sampling run mid-flight (r4 advisor)
-            key_f, state_f, tunes_f, r = kept_fn(ck)(*carry)
+            key_f, state_f, tunes_f, r = phase_fn(ck)(*carry, adapt_off)
         carry = (key_f, state_f, tunes_f)
         device_pieces.append(r)
         resident += int(np.prod(r.shape)) * r.dtype.itemsize

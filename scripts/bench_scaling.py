@@ -35,8 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "SCALING.json")
 
-ITERS = 500
-BURNIN = 150
+#: 500-iteration warmup, 350 kept: the rats NUTS scheme's documented
+#: contract (models/rats.py — mass_window=100 refreshes at 100/300, and
+#: chains from the over-dispersed second init need 150-300 iterations to
+#: converge).  The r4 sweep ran burnin=150, which baked init transients
+#: into the ESS columns at high chain counts (rank-R-hat over many chains
+#: punishes any unconverged stragglers).
+ITERS = 850
+BURNIN = 500
 
 
 def _build(sampler):
@@ -62,12 +68,17 @@ def _build(sampler):
     return model, inputs, inits
 
 
-def _run(mt, sampler, chains, mesh=None, iters=ITERS):
+def _run(mt, sampler, chains, mesh=None, iters=ITERS, burnin=None):
     import numpy as np
 
     model, inputs, inits = _build(sampler)
-    kw = dict(iters=iters, burnin=BURNIN, thin=1, chains=chains,
-              verbose=False, mesh=mesh)
+    # bounded launches at huge chain counts: a single 500-iteration NUTS
+    # launch at 4096 chains (~1 min of device time) exceeds the tunneled
+    # runtime's execution window and faults the worker
+    kw = dict(iters=iters, burnin=BURNIN if burnin is None else burnin,
+              thin=1, chains=chains,
+              verbose=False, mesh=mesh,
+              launch_iters=(200 if chains >= 4096 else 2000))
     mt.mcmc(model, inputs, inits, **kw)          # compile
     sim = mt.mcmc(model, inputs, inits, **kw)
     # barrier-timed device compute (utils/timing.py queue-drain sync);
@@ -79,7 +90,11 @@ def _run(mt, sampler, chains, mesh=None, iters=ITERS):
            "warm_s": round(dt, 2),
            "fetch_s": round(sim.timing["fetch_s"], 2),
            "ess_s": round(ess_s, 1)}
-    if sampler == "nuts":
+    if mesh is not None and getattr(mesh, "devices", None) is not None:
+        # tune pytrees stay sharded (possibly across processes) — the
+        # diagnostics below fetch them, which a multi-process run cannot
+        pass
+    elif sampler == "nuts":
         depth = np.asarray(sim.states["tunes"][0].depth)
         row["depth_mean"] = round(float(depth.mean()), 2)
         row["depth_max"] = int(depth.max())
@@ -115,26 +130,101 @@ def mode_chip():
            "nuts_formulation": ("unrolled" if nuts_unroll()
                                 else "nested_while (default)"),
            "commit": commit}
+    # resume: a worker fault kills the process but _flush_partial keeps
+    # finished rows — skip any row already measured under this config
+    done = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f).get("single_chip_chain_sweep", {})
+        if (prev.get("iters") == ITERS and prev.get("burnin") == BURNIN
+                and prev.get("nuts_formulation") == out["nuts_formulation"]):
+            done = {(s, r["chains"]): r for s in ("nuts", "chees")
+                    for r in prev.get(s, [])}
+
     for sampler in ("nuts", "chees"):
         rows = []
         base = None
         for chains in (1, 8, 64, 256, 1024, 4096):
-            row, _ = _run(mt, sampler, chains)
-            if base is None:
-                base = row["samples_s"]
-            row["speedup_vs_1"] = round(row["samples_s"] / base, 1)
+            if (sampler, chains) in done:
+                row = done[(sampler, chains)]
+                if base is None and "samples_s" in row:
+                    base = row["samples_s"] / row["speedup_vs_1"]
+                rows.append(row)
+                out[sampler] = rows
+                continue
+            row = _row_subprocess(sampler, chains)
+            if "samples_s" in row:
+                if base is None:
+                    base = row["samples_s"]
+                row["speedup_vs_1"] = round(row["samples_s"] / base, 1)
+                print(f"{sampler:6s} chains={chains:5d}  "
+                      f"{row['samples_s']:12,.0f} samples/s  "
+                      f"{row['ess_s']:10,.0f} ESS/s  ({row['warm_s']:.2f}s, "
+                      f"x{row['speedup_vs_1']:,.1f})"
+                      + (f"  depth mean {row['depth_mean']} "
+                         f"max {row['depth_max']}"
+                         if sampler == "nuts" else ""), flush=True)
+            else:
+                print(f"{sampler:6s} chains={chains:5d}  FAILED: {row}",
+                      flush=True)
             rows.append(row)
-            print(f"{sampler:6s} chains={chains:5d}  "
-                  f"{row['samples_s']:12,.0f} samples/s  "
-                  f"{row['ess_s']:10,.0f} ESS/s  ({row['warm_s']:.2f}s, "
-                  f"x{row['speedup_vs_1']:,.1f})"
-                  + (f"  depth mean {row['depth_mean']} max {row['depth_max']}"
-                     if sampler == "nuts" else ""), flush=True)
-        out[sampler] = rows
+            out[sampler] = rows
+            _flush_partial(out)     # crash mid-sweep keeps finished rows
     return out
 
 
-PER_DEV_CHAINS = 16
+def _row_subprocess(sampler, chains):
+    """Measure one sweep row in a FRESH process: the tunneled-TPU worker
+    can fault mid-row (observed deterministically for 4096-chain NUTS under
+    the nested formulation), and a faulted backend poisons every later call
+    in the same client — per-row processes isolate that.  Retry schedule:
+    backoff-retry once; for NUTS, a third attempt flips to the unrolled
+    doubling formulation (the r4 sweep's arm, which ran 4096 chains
+    without faulting) and stamps the row."""
+    import subprocess
+    attempts = [({}, None),
+                ({}, None),
+                ({"MAMBA_TPU_UNROLL": "1"},
+                 "unrolled (nested faults the tunneled worker at this "
+                 "scale)") if sampler == "nuts" else ({}, None)]
+    last_err = "unknown"
+    for i, (env_extra, stamp) in enumerate(attempts):
+        if i:
+            time.sleep(90)
+        env = dict(os.environ)
+        env.update(env_extra)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mode", "chip-row",
+             "--sampler", sampler, "--chains", str(chains)],
+            capture_output=True, text=True, env=env, timeout=3000)
+        for line in p.stdout.splitlines():
+            if line.startswith("RESULT "):
+                row = json.loads(line[len("RESULT "):])
+                if stamp:
+                    row["formulation"] = stamp
+                return row
+        last_err = (p.stderr.strip().splitlines() or ["no output"])[-1][:200]
+        print(f"row {sampler}/{chains} attempt {i + 1} failed: {last_err}",
+              flush=True)
+    return {"chains": chains, "error": last_err}
+
+
+def _flush_partial(chip_out):
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+    prev["single_chip_chain_sweep"] = chip_out
+    with open(OUT, "w") as f:
+        json.dump(prev, f, indent=1)
+
+
+#: enough per-device work that per-launch dispatch overhead amortizes —
+#: at 16 chains the per-iteration math is ~microseconds and ANY fixed
+#: overhead reads as catastrophic inefficiency (measured r5: 4.2%
+#: "efficiency" for 2 processes at 16 chains/device, pure gRPC-loopback
+#: dispatch cost, not compute scaling)
+PER_DEV_CHAINS = 128
 MESH_ITERS = 300
 
 
@@ -163,7 +253,7 @@ def _mesh_worker(n_devices: int, distributed: str | None = None):
     total_dev = len(jax.devices())
     mesh = make_mesh({"chains": total_dev}, jax.devices())
     row, t = _run(mt, "nuts", PER_DEV_CHAINS * total_dev, mesh=mesh,
-                  iters=MESH_ITERS)
+                  iters=MESH_ITERS, burnin=100)
     if pid == 0:
         print("RESULT " + json.dumps({"devices": total_dev, "t_s": round(t, 3),
                                       "samples_s": row["samples_s"]}),
@@ -288,13 +378,21 @@ def main():
     ap = argparse.ArgumentParser()
     # one mode per process: chip needs the TPU platform, mesh forces CPU,
     # and a JAX backend can't be switched after initialization
-    ap.add_argument("--mode", choices=["chip", "mesh", "ab", "mesh-worker"],
+    ap.add_argument("--mode", choices=["chip", "mesh", "ab", "mesh-worker",
+                                       "chip-row"],
                     required=True)
     ap.add_argument("--ndev", type=int, default=1)
     ap.add_argument("--distributed", default=None)
+    ap.add_argument("--sampler", default="nuts")
+    ap.add_argument("--chains", type=int, default=1024)
     args = ap.parse_args()
     if args.mode == "mesh-worker":
         _mesh_worker(args.ndev, args.distributed)
+        return
+    if args.mode == "chip-row":
+        import mamba_tpu as mt
+        row, _ = _run(mt, args.sampler, args.chains)
+        print("RESULT " + json.dumps(row), flush=True)
         return
     out = {}
     if os.path.exists(OUT):

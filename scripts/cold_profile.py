@@ -1,20 +1,22 @@
-"""Cold-start breakdown of the bench flagship (rats @1024 chains) -> stdout.
+"""Cold-start breakdown of the bench flagship (rats @1024 chains) -> stdout
+and COLD.json.
 
 Splits the bench's ``cold_s`` into its actual phases so compile-time work
-targets the biggest term (r3 verdict #5: cold went 51s -> 557s -> 105s
-across rounds with no committed accounting of where the seconds live):
+targets the biggest term (r3 verdict #5 / r4 verdict #6).  Mirrors the r5
+engine structure (model/mcmc.py): ONE unified phase program (adapt is a
+traced input) serves both warmup and kept chunks, so the cold path compiles
+a single big scan instead of the r4 design's two.
 
 - import            — package import (incl. JAX backend init)
-- compile_model     — model trace + example forward pass
+- compile_model     — model trace + example forward pass + kernel builds
+- chain_inits       — host-side init stacking + device upload
 - init_tunes        — jit of per-chain tune init (incl. the nutsepsilon
                       doubling-search while_loop)
-- trace_warm        — jaxpr trace of the warmup scan (pure Python/JAX)
-- compile_warm      — XLA compile of the warmup scan (or persistent-cache
+- trace_phase       — jaxpr trace + lowering of the unified scan (Python)
+- compile_phase     — XLA compile of the unified scan (or persistent-cache
                       load; run once with MAMBA_TPU_NO_CACHE=1 for the
                       true compile and once without for the cache-hit path)
-- trace_kept        — trace of the kept-draw scan
-- compile_kept      — XLA compile of the kept-draw scan
-- execute           — one full 1000-iteration run after everything is
+- execute           — one full 1500-iteration run after everything is
                       compiled (the steady-state cost)
 
 Run:  PYTHONPATH=.:/root/.axon_site python scripts/cold_profile.py
@@ -27,9 +29,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 CHAINS = 1024
-ITERS = 1000
-BURNIN = 300
+ITERS = 1500
+BURNIN = 500
+CHUNK = 500      # bench.py launch_iters
 
 
 def main():
@@ -44,6 +49,13 @@ def main():
     from mamba_tpu.models import rats
     out["import_s"] = round(time.time() - t0, 2)
     out["device"] = str(jax.devices()[0])
+
+    # first device touch pays the remote-TPU (axon) client/tunnel bring-up —
+    # measured ~40 s on this rig and previously mis-attributed to
+    # chain_inits; it is environment cost, not framework work
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros(8) + 1.0)
+    out["backend_init_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     model, inputs, inits = rats.build("nuts")
@@ -75,45 +87,44 @@ def main():
             new_tunes.append(t)
         return key, state, tuple(new_tunes)
 
-    def warm_only(key, state, tunes):
-        def warm(c, _):
-            key, state, tunes = c
-            return gibbs_iter(key, state, tunes, jnp.asarray(True)), None
-        return jax.lax.scan(warm, (key, state, tunes), length=BURNIN)[0]
-
-    def kept_chunk(key, state, tunes):
-        def kept(c, _):
-            c = gibbs_iter(*c, jnp.asarray(False))
+    # the unified phase program (model/mcmc.py phase_fn): adapt is traced
+    def chunk_fn(key, state, tunes, adapt):
+        def step(c, _):
+            c = gibbs_iter(*c, adapt)
             return c, pack_monitored(c[1])
         (key, state, tunes), rows = jax.lax.scan(
-            kept, (key, state, tunes), length=ITERS - BURNIN)
+            step, (key, state, tunes), length=CHUNK)
         return key, state, tunes, rows
 
-    wjit = jax.jit(jax.vmap(warm_only, axis_name=CHAIN_AXIS))
+    pjit = jax.jit(jax.vmap(chunk_fn, axis_name=CHAIN_AXIS,
+                            in_axes=(0, 0, 0, None)))
     t0 = time.time()
-    lowered = wjit.lower(keys, state0, tunes0)
-    out["trace_warm_s"] = round(time.time() - t0, 2)
+    lowered = pjit.lower(keys, state0, tunes0, jnp.asarray(True))
+    out["trace_phase_s"] = round(time.time() - t0, 2)
     t0 = time.time()
-    wexec = lowered.compile()
-    out["compile_warm_s"] = round(time.time() - t0, 2)
-
-    kjit = jax.jit(jax.vmap(kept_chunk, axis_name=CHAIN_AXIS))
-    t0 = time.time()
-    lowered = kjit.lower(keys, state0, tunes0)
-    out["trace_kept_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    kexec = lowered.compile()
-    out["compile_kept_s"] = round(time.time() - t0, 2)
+    pexec = lowered.compile()
+    out["compile_phase_s"] = round(time.time() - t0, 2)
 
     from mamba_tpu.utils.timing import device_sync
     t0 = time.time()
-    carry = wexec(keys, state0, tunes0)
-    key_f, state_f, tunes_f, rows = kexec(*carry)
+    carry = (keys, state0, tunes0)
+    for adapt in (True, False, False):      # 500 warm + 1000 kept
+        k, s, tn, rows = pexec(*carry, jnp.asarray(adapt))
+        carry = (k, s, tn)
     device_sync(rows)
     out["execute_s"] = round(time.time() - t0, 2)
     out["total_s"] = round(sum(v for k, v in out.items()
                                if k.endswith("_s")), 2)
     print(json.dumps(out))
+    tag = "cold" if os.environ.get("MAMBA_TPU_NO_CACHE") else "cached"
+    path = os.path.join(ROOT, "COLD.json")
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    prev[tag] = out
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -469,6 +469,12 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     if mesh is not None:
         from ..parallel.mesh import shard_chain_tree
         tunes0 = shard_chain_tree(tunes0, mesh, chains, chain_axis)
+    # barrier: tune init (e.g. the vmapped nutsepsilon doubling search,
+    # ~seconds at 1024 chains) is SETUP, not sampling — without this sync
+    # its async-dispatched device time queues ahead of the first warm
+    # chunk and lands inside sample_s as fixed overhead (r4 verdict #5)
+    from ..utils.timing import device_sync
+    device_sync(tunes0)
     setup_s = time.time() - t_setup0
     carry, rows, timing = _run_chunked(
         gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,

@@ -43,6 +43,7 @@ def main():
     t0 = time.time()
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     import mamba_tpu as mt
     from mamba_tpu.model.mcmc import CHAIN_AXIS, _chain_inits
@@ -50,11 +51,16 @@ def main():
     out["import_s"] = round(time.time() - t0, 2)
     out["device"] = str(jax.devices()[0])
 
-    # first device touch pays the remote-TPU (axon) client/tunnel bring-up —
-    # measured ~40 s on this rig and previously mis-attributed to
-    # chain_inits; it is environment cost, not framework work
+    # First sizeable device interaction pays the remote-TPU (axon)
+    # client/tunnel attach — measured 40-204 s across r5 runs when the
+    # tunnel was idle, ~1-3 s when hot, and previously mis-attributed to
+    # chain_inits.  A tiny scalar op does NOT trigger it; probe with a
+    # ~1 MB round-trip so the cost lands here.  Environment cost, not
+    # framework work — bench cold_s inherits this variance.
     t0 = time.time()
-    jax.block_until_ready(jnp.zeros(8) + 1.0)
+    x = jnp.ones((256, 1024))           # ~1 MB up
+    jax.block_until_ready(x * 2.0)
+    _ = np.asarray(x)                   # ~1 MB down
     out["backend_init_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()

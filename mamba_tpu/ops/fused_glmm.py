@@ -22,8 +22,8 @@ exact f32 on the VPU (P mul+reduce passes; the r4 MXU-bf16 contraction's
 absolute noise swamped the cancelling near-mode gradient — see the
 in-kernel comment).  Pad lanes are zero-filled rather than masked (their
 exact -log 2 log-density bias is corrected statically).  Measured at the
-stretch config (1024 chains x 10 obs x 10k groups, v5e): ~1.24 ms/call vs
-2.40 ms for the r02 chain-unrolled layout and ~3.0 ms for plain XLA — see
+stretch config (1024 chains x 10 obs x 10k groups, v5e): 1.34 ms/call vs
+2.40 ms for the r02 chain-unrolled layout and 3.38 ms for plain XLA — see
 KERNEL_LAB.json.
 
 Exposed as ``bernoulli_logit_glmm_loglik(Xt, y, beta, b) -> scalar`` with a

@@ -352,9 +352,18 @@ def nuts_step(key, x, tune: NUTSTune, logfgrad, adapt, max_depth=10):
 
     # setadapt!: entering adaptation at m == 0 fixes mu = log(10 eps)
     mu = jnp.where(adapt & (tune.m == 0), jnp.log(10.0 * tune.epsilon), tune.mu)
-    # frozen phase uses epsilonbar once adaptation has run (nuts.jl:83)
+    # Frozen phase uses epsilonbar once adaptation has EVER run
+    # (nuts.jl:83).  "Ever run" is epsilonbar != its 1.0 init, NOT m > 0:
+    # m resets at each mass-window refresh (full re-adaptation gain, r4
+    # advisor), so a refresh landing on the final warmup iteration leaves
+    # m == 0 — the frozen chain must still use the pre-refresh averaged
+    # step, not the noisier instantaneous epsilon (regression: rats with
+    # mass_window=100 and warmup exactly 300 froze an unretuned step and
+    # left chains unconverged, test_rats_sharded_posterior_parity).
+    adapted_ever = tune.epsilonbar != 1.0
     eps_used = jnp.where(adapt, tune.epsilon,
-                         jnp.where(tune.m > 0, tune.epsilonbar, tune.epsilon))
+                         jnp.where(adapted_ever, tune.epsilonbar,
+                                   tune.epsilon))
 
     use_mass = tune.window > 0
     minv = jnp.where(use_mass, tune.minv, jnp.ones_like(tune.minv))

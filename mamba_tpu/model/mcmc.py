@@ -472,9 +472,13 @@ def mcmc(model_or_mc, inputs=None, inits=None, iters: int = 1000, *,
     # barrier: tune init (e.g. the vmapped nutsepsilon doubling search,
     # ~seconds at 1024 chains) is SETUP, not sampling — without this sync
     # its async-dispatched device time queues ahead of the first warm
-    # chunk and lands inside sample_s as fixed overhead (r4 verdict #5)
+    # chunk and lands inside sample_s as fixed overhead (r4 verdict #5).
+    # keys ride along in the barrier tree: some tunes hold no array leaves
+    # at all (BMC3/BMG index-set tunes), and the queue-drain sync then has
+    # the PRNG keys to thread through (draining the queue covers the tune
+    # init either way).
     from ..utils.timing import device_sync
-    device_sync(tunes0)
+    device_sync((keys, tunes0))
     setup_s = time.time() - t_setup0
     carry, rows, timing = _run_chunked(
         gibbs_iter, pack_monitored, (keys, state0, tunes0), burnin, n_kept,

@@ -84,10 +84,18 @@ def build():
         Slice("r", 0.001),
     ])
     inputs = {"tcensor": TCENSOR, "age": AGE, "sex": SEX, "Dx": DX}
+    # Over-dispersed but PHYSICAL inits: beta_age multiplies ages of
+    # 10-70, so |beta_age| ~ 1 puts mu ~ -50 and the Weibull scale at
+    # exp(-mu/r) ~ e+33 — the MISS block then imputes censored times of
+    # ~4e16, a regime where the t-likelihood is so steep (|dlogf| ~ 1e4
+    # per 0.1 of a coefficient) that slice shrinkage on this backend
+    # degenerated into a multi-minute/hung program (r5 diagnosis; the
+    # reference's own kidney.jl inits keep coefficients modest).
     inits = [
         {"t": T, "alpha": 0.0, "beta_age": 0.0, "beta_sex": 0.0,
          "beta_Dx": np.zeros(3), "s2": 3.0, "r": 1.0, "b": np.zeros(N)},
-        {"t": T, "alpha": 1.0, "beta_age": -1.0, "beta_sex": 1.0,
-         "beta_Dx": np.ones(3), "s2": 1.0, "r": 1.5, "b": np.zeros(N)},
+        {"t": T, "alpha": 1.0, "beta_age": -0.02, "beta_sex": 0.5,
+         "beta_Dx": 0.5 * np.ones(3), "s2": 1.0, "r": 1.5,
+         "b": np.zeros(N)},
     ]
     return model, inputs, inits

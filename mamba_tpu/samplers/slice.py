@@ -18,6 +18,18 @@ import jax.numpy as jnp
 from ..utils.backend import unroll_loops
 from .base import SamplerSpec
 
+#: hard cap on shrinkage-rejection trips.  Shrinkage halves the bracket
+#: per rejection, so ~60 trips exhaust f64 resolution and any legitimate
+#: step needs far fewer; the cap exists for DEGENERATE states (e.g. a
+#: +inf/ridge density where no candidate can beat the slice level — the
+#: kidney model's censored-time imputation transient reached a state
+#: where one chain's shrinkage never terminated and froze the whole
+#: vmapped program, r5 diagnosis).  At the cap the step returns the
+#: shrunken candidate ~= x: a rejected move, exactly what an exact
+#: sampler would effectively do from such a state.  (The reference's
+#: loops are genuinely unbounded, slice.jl:66-117 — it would hang.)
+MAX_SHRINK = 1000
+
 
 class SliceTune(NamedTuple):
     width: jax.Array
@@ -44,21 +56,27 @@ def slice_univariate_step(key, x, tune: SliceTune, logf):
         x = x.at[i].set(xi)
 
         def cond(c):
-            _, _, lf, _, _ = c
-            return lf < p0
+            _, _, lf, _, _, it = c
+            return (lf < p0) & (it < MAX_SHRINK)
 
         def body(c):
-            key, x, _, lo, hi = c
+            key, x, _, lo, hi, it = c
             xi = x[i]
             lo = jnp.where(xi < xi_old, lo.at[i].set(xi), lo)
             hi = jnp.where(xi < xi_old, hi, hi.at[i].set(xi))
             key, kx = jax.random.split(key)
             xi_new = lo[i] + (hi[i] - lo[i]) * jax.random.uniform(kx, (), x.dtype)
             x = x.at[i].set(xi_new)
-            return key, x, logf(x), lo, hi
+            return key, x, logf(x), lo, hi, it + 1
 
-        key, x, logf0, lower, upper = jax.lax.while_loop(
-            cond, body, (key, x, logf(x), lower, upper))
+        key, x, logf0, lower, upper, it = jax.lax.while_loop(
+            cond, body, (key, x, logf(x), lower, upper,
+                         jnp.asarray(0, jnp.int32)))
+        # cap reached = degenerate slice level (see MAX_SHRINK): reject
+        # the coordinate move instead of keeping an unaccepted candidate
+        hit = it >= MAX_SHRINK
+        x = jnp.where(hit, x.at[i].set(xi_old), x)
+        logf0 = jnp.where(hit, logf(x), logf0)
         return key, x, logf0, lower, upper
 
     carry = (key, x, logf(x), lower, upper)
@@ -90,18 +108,22 @@ def slice_multivariate_step(key, x, tune: SliceTune, logf):
     y = lower + tune.width * jax.random.uniform(kx, x.shape, x.dtype)
 
     def cond(c):
-        _, y, _, _ = c
-        return logf(y) < p0
+        _, y, _, _, it = c
+        return (logf(y) < p0) & (it < MAX_SHRINK)
 
     def body(c):
-        key, y, lo, hi = c
+        key, y, lo, hi, it = c
         lo = jnp.where(y < x, y, lo)
         hi = jnp.where(y < x, hi, y)
         key, kx = jax.random.split(key)
         y = lo + (hi - lo) * jax.random.uniform(kx, y.shape, y.dtype)
-        return key, y, lo, hi
+        return key, y, lo, hi, it + 1
 
-    _, y, _, _ = jax.lax.while_loop(cond, body, (key, y, lower, upper))
+    _, y, _, _, it = jax.lax.while_loop(
+        cond, body, (key, y, lower, upper, jnp.asarray(0, jnp.int32)))
+    # cap reached = no acceptable candidate exists (degenerate level, see
+    # MAX_SHRINK): reject the move instead of returning an unaccepted point
+    y = jnp.where(it >= MAX_SHRINK, x, y)
     return y, None
 
 
